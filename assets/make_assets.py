@@ -1,0 +1,140 @@
+"""Generate the benchmark OBJ assets (deterministic; run from repo root).
+
+The reference ships no scene assets (only an icon), so the benchmark scenes
+named in BASELINE.json are authored here: a Cornell box, a dispersion prism
+scene, and a mixed-material scene. Wall normals face inward; every wall is
+its own OBJ group so it can carry its own material (element = OBJ shape,
+matching tinyobj/pathtracer.cpp:63-67 semantics).
+"""
+
+import os
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def quad(f, a, b, c, d, vbase):
+    """Two CCW triangles for quad a-b-c-d; returns new vertex base."""
+    for v in (a, b, c, d):
+        f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+    f.write(f"f {vbase} {vbase+1} {vbase+2}\n")
+    f.write(f"f {vbase} {vbase+2} {vbase+3}\n")
+    return vbase + 4
+
+
+def box(f, lo, hi, vbase, outward=True):
+    """Axis-aligned box; outward-facing CCW faces."""
+    x0, y0, z0 = lo
+    x1, y1, z1 = hi
+    corners = [
+        (x0, y0, z0), (x1, y0, z0), (x1, y1, z0), (x0, y1, z0),
+        (x0, y0, z1), (x1, y0, z1), (x1, y1, z1), (x0, y1, z1),
+    ]
+    faces = [
+        (0, 3, 2, 1),  # z = z0 (front, -z normal)
+        (4, 5, 6, 7),  # z = z1 (back, +z)
+        (0, 1, 5, 4),  # y = y0 (bottom, -y)
+        (3, 7, 6, 2),  # y = y1 (top, +y)
+        (0, 4, 7, 3),  # x = x0 (-x)
+        (1, 2, 6, 5),  # x = x1 (+x)
+    ]
+    for v in corners:
+        f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+    for face in faces:
+        idx = [vbase + i for i in face]
+        if not outward:
+            idx = idx[::-1]
+        f.write(f"f {idx[0]} {idx[1]} {idx[2]}\n")
+        f.write(f"f {idx[0]} {idx[2]} {idx[3]}\n")
+    return vbase + 8
+
+
+def make_cornell(path):
+    """Cornell box: 4x4x4 interior from z=2..6, open toward the camera at -z.
+
+    Groups: floor, ceiling, back, left, right, light, tall_block, short_block.
+    Camera at the origin looking +z sees the interior through the open face.
+    """
+    with open(path, "w") as f:
+        f.write("# Cornell box for pathtracing_spectrum_tpu benchmarks\n")
+        vb = 1
+        f.write("g floor\n")
+        vb = quad(f, (-2, -2, 2), (-2, -2, 6), (2, -2, 6), (2, -2, 2), vb)
+        f.write("g ceiling\n")
+        vb = quad(f, (-2, 2, 2), (2, 2, 2), (2, 2, 6), (-2, 2, 6), vb)
+        f.write("g back\n")
+        vb = quad(f, (-2, -2, 6), (-2, 2, 6), (2, 2, 6), (2, -2, 6), vb)
+        f.write("g left\n")
+        vb = quad(f, (-2, -2, 2), (-2, 2, 2), (-2, 2, 6), (-2, -2, 6), vb)
+        f.write("g right\n")
+        vb = quad(f, (2, -2, 2), (2, -2, 6), (2, 2, 6), (2, 2, 2), vb)
+        f.write("g light\n")
+        vb = quad(f, (-0.75, 1.999, 3.25), (0.75, 1.999, 3.25),
+                  (0.75, 1.999, 4.75), (-0.75, 1.999, 4.75), vb)
+        f.write("g tall_block\n")
+        vb = box(f, (-1.4, -2.0, 4.2), (-0.2, 0.4, 5.4), vb)
+        f.write("g short_block\n")
+        vb = box(f, (0.2, -2.0, 2.8), (1.5, -0.8, 4.1), vb)
+
+
+def make_prism(path):
+    """Glass prism on a floor inside an enclosure (dispersion scene)."""
+    with open(path, "w") as f:
+        f.write("# Dispersion scene: glass wedge prism + enclosure\n")
+        vb = 1
+        f.write("g floor\n")
+        vb = quad(f, (-4, -2, 0), (-4, -2, 8), (4, -2, 8), (4, -2, 0), vb)
+        f.write("g back\n")
+        vb = quad(f, (-4, -2, 8), (-4, 4, 8), (4, 4, 8), (4, -2, 8), vb)
+        f.write("g emitter\n")
+        vb = quad(f, (-3.5, 1.0, 1.0), (-3.5, 1.6, 1.0),
+                  (-3.5, 1.6, 1.6), (-3.5, 1.0, 1.6), vb)
+        # triangular prism (wedge), axis along z
+        f.write("g prism\n")
+        a0, b0, c0 = (-1, -2, 3), (1, -2, 3), (0, 1, 3)
+        a1, b1, c1 = (-1, -2, 5), (1, -2, 5), (0, 1, 5)
+        for v in (a0, b0, c0, a1, b1, c1):
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        # ends
+        f.write(f"f {vb} {vb+2} {vb+1}\n")
+        f.write(f"f {vb+3} {vb+4} {vb+5}\n")
+        # sides
+        f.write(f"f {vb} {vb+1} {vb+4}\nf {vb} {vb+4} {vb+3}\n")
+        f.write(f"f {vb+1} {vb+2} {vb+5}\nf {vb+1} {vb+5} {vb+4}\n")
+        f.write(f"f {vb+2} {vb} {vb+3}\nf {vb+2} {vb+3} {vb+5}\n")
+
+
+def make_sphere(path, n_theta=24, n_phi=48):
+    """UV sphere with smooth normals (textured-mesh / glossy scenes)."""
+    import math
+    with open(path, "w") as f:
+        f.write("# UV sphere, radius 1, smooth-shaded, with UVs\n")
+        f.write("g sphere\ns 1\n")
+        verts = []
+        for i in range(n_theta + 1):
+            th = math.pi * i / n_theta
+            for j in range(n_phi + 1):
+                ph = 2 * math.pi * j / n_phi
+                x = math.sin(th) * math.cos(ph)
+                y = math.cos(th)
+                z = math.sin(th) * math.sin(ph)
+                verts.append((x, y, z))
+                f.write(f"v {x:.6f} {y:.6f} {z:.6f}\n")
+                f.write(f"vn {x:.6f} {y:.6f} {z:.6f}\n")
+                f.write(f"vt {j / n_phi:.6f} {1 - i / n_theta:.6f}\n")
+        def vid(i, j):
+            return i * (n_phi + 1) + j + 1
+        for i in range(n_theta):
+            for j in range(n_phi):
+                a, b = vid(i, j), vid(i, j + 1)
+                c, d = vid(i + 1, j + 1), vid(i + 1, j)
+                if i != 0:
+                    f.write(f"f {a}/{a}/{a} {b}/{b}/{b} {c}/{c}/{c}\n")
+                if i != n_theta - 1:
+                    f.write(f"f {a}/{a}/{a} {c}/{c}/{c} {d}/{d}/{d}\n")
+
+
+if __name__ == "__main__":
+    make_cornell(os.path.join(HERE, "cornell_box.obj"))
+    make_prism(os.path.join(HERE, "prism.obj"))
+    make_sphere(os.path.join(HERE, "sphere.obj"))
+    print("assets written")

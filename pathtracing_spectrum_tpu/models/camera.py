@@ -1,0 +1,90 @@
+"""Pinhole camera, exactly reproducing the reference's ray generation.
+
+Reference ``PathTracer::RenderFrame`` camera setup (pathtracer.cpp:560-571)
+and ``SetCamera``/``SetProjection`` clamps (pathtracer.cpp:336-353):
+
+* image plane centred at ``pos + dir * focal``,
+* plane height ``2 * focal * tan(fovy_deg/2)``, width ``height * aspect``,
+* ``right = normalize(cross(up, dir))``,
+* ray through the *top-left corner* of each pixel — the reference has **no
+  sub-pixel jitter** (its ``seed`` variable at pathtracer.cpp:591 is unused).
+  ``jitter=True`` enables proper sub-pixel sampling as an opt-in improvement;
+  the default stays off for RMSE parity with the reference.
+
+Rays are generated for all pixels at once as flat [N, 3] arrays; row 0 of the
+output image is the top row (the reference stores rows flipped and flips
+again on export — main.cpp:964, pathtracer.cpp:595 — so exported text is
+top-to-bottom, which this ordering reproduces directly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    position: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    direction: Tuple[float, float, float] = (0.0, 0.0, 1.0)
+    up: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+    focal: float = 0.1
+    fovy_deg: float = 90.0
+
+    def clamped(self) -> "Camera":
+        """SetProjection clamps (pathtracer.cpp:343-353)."""
+        f = self.focal if self.focal > 0.0 else 0.1
+        fovy = self.fovy_deg
+        if fovy <= 0.0:
+            fovy = 0.1
+        elif fovy >= 180.0:
+            fovy = 179.5
+        d = np.asarray(self.direction, np.float64)
+        u = np.asarray(self.up, np.float64)
+        d = d / np.linalg.norm(d)
+        u = u / np.linalg.norm(u)
+        return Camera(tuple(self.position), tuple(d), tuple(u), f, fovy)
+
+
+def camera_rays(cam: Camera, width: int, height: int,
+                key: "jax.Array | None" = None, jitter: bool = False):
+    """Generate primary rays.
+
+    Returns (origins [N,3], directions [N,3]) with N = width*height, row-major
+    with row 0 = image top.
+    """
+    cam = cam.clamped()
+    pos = jnp.asarray(cam.position, jnp.float32)
+    d = jnp.asarray(cam.direction, jnp.float32)
+    up = jnp.asarray(cam.up, jnp.float32)
+
+    img_center = pos + d * cam.focal
+    img_h = 2.0 * cam.focal * math.tan(math.radians(cam.fovy_deg / 2.0))
+    aspect = float(width) / float(height)
+    img_w = img_h * aspect
+    dx = img_w / float(width)
+    dy = img_h / float(height)
+    right = jnp.cross(up, d)
+    right = right / jnp.linalg.norm(right)
+
+    top_left = img_center - right * (img_w * 0.5) + up * (img_h * 0.5)
+
+    jj, ii = jnp.meshgrid(jnp.arange(width, dtype=jnp.float32),
+                          jnp.arange(height, dtype=jnp.float32))
+    if jitter and key is not None:
+        kx, ky = jax.random.split(key)
+        jj = jj + jax.random.uniform(kx, jj.shape)
+        ii = ii + jax.random.uniform(ky, ii.shape)
+    pixel = (top_left[None, None, :]
+             - up[None, None, :] * (ii * dy)[..., None]
+             + right[None, None, :] * (jj * dx)[..., None])
+    dirs = pixel - pos[None, None, :]
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    n = width * height
+    origins = jnp.broadcast_to(pos, (n, 3))
+    return origins, dirs.reshape(n, 3)

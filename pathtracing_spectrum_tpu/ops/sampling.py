@@ -1,0 +1,131 @@
+"""Bounce-direction sampling for the four surface models.
+
+Formula-exact port of the material branches of ``PathTracer::Trace``
+(pathtracer.cpp:466-514), vectorised over rays. All four candidate
+directions are computed for every ray and selected by material type — on a
+vector machine that is cheaper than divergent branching, and XLA dedupes the
+shared subexpressions.
+
+Reference quirks preserved deliberately:
+
+* DIFFUSE (pathtracer.cpp:471-479): "uniform hemisphere" sampling that is
+  actually ``dir = w*cos(2 pi theta)*u + w*sin(2 pi theta)*v + sqrt(1-w^2)*n``
+  with ``w ~ U[0,1)`` — the polar *sine* is uniform, not the solid angle. The
+  tangent frame picks ``u = cross((1,0,0), n)`` unless ``|n.x| >= 1 - EPS``
+  where it falls back to ``cross((1,1,1), n)``.
+* GLOSSY (pathtracer.cpp:481-490): same construction around the mirror
+  direction with ``w ~ U[0,1) * roughness``; the fallback threshold uses
+  FLT_EPSILON instead of EPS, and ``v = cross(u, r)`` is not re-normalised
+  (it is already unit since u is unit and perpendicular to r).
+* GLASS (pathtracer.cpp:491-514): Snell + Schlick with hardcoded
+  nc=1.0, ng=1.5 and the Schlick power **2** (not 5). Total internal
+  reflection reflects. On refraction the hit point steps back by 2*EPS along
+  the normal and the ``inside`` flag flips.
+
+For dispersion mode (wavelength-dependent IOR — a capability extension used
+by the dielectric-dispersion benchmark config), pass ``eta_override``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..constants import EPS
+
+FLT_EPSILON = 1.1920929e-07
+TWO_PI = 2.0 * math.pi
+
+
+class BounceSample(NamedTuple):
+    direction: jnp.ndarray      # [N,3]
+    refracted: jnp.ndarray      # [N] bool — glass ray crossed the interface
+    new_inside: jnp.ndarray     # [N] bool
+
+
+def _frame_u(axis, threshold):
+    """u = |axis.x| < 1-threshold ? cross((1,0,0),axis) : cross((1,1,1),axis)."""
+    x_small = jnp.abs(axis[..., 0]) < (1.0 - threshold)
+    ex = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], jnp.float32), axis.shape)
+    ones = jnp.broadcast_to(jnp.array([1.0, 1.0, 1.0], jnp.float32), axis.shape)
+    u = jnp.where(x_small[..., None], jnp.cross(ex, axis), jnp.cross(ones, axis))
+    norm = jnp.linalg.norm(u, axis=-1, keepdims=True)
+    return u / jnp.where(norm > 0, norm, 1.0)
+
+
+def reflect(rd, n):
+    """glm::reflect: rd - 2*dot(rd,n)*n."""
+    return rd - 2.0 * jnp.sum(rd * n, axis=-1, keepdims=True) * n
+
+
+def sample_bounce(mat_type, rd, n, roughness, inside,
+                  u_rand, theta_rand, fresnel_rand,
+                  eta_inside=None, eta_outside=None) -> BounceSample:
+    """Compute the bounce direction for every ray.
+
+    Args:
+      mat_type: [N] int32 (MaterialType codes).
+      rd: [N,3] incoming unit direction.
+      n: [N,3] shading normal, already front-facing (dot(n, rd) <= 0).
+      roughness: [N] glossy cone scale.
+      inside: [N] bool glass state.
+      u_rand, theta_rand, fresnel_rand: [N] U[0,1) variates.
+      eta_inside/eta_outside: optional [N] per-ray refraction ratios for
+        dispersion mode (defaults: ng/nc = 1.5 and nc/ng = 1/1.5).
+
+    Returns:
+      BounceSample(direction, refracted, new_inside).
+    """
+    r = reflect(rd, n)
+
+    # --- DIFFUSE ----------------------------------------------------------
+    u_d = _frame_u(n, EPS)
+    v_d = jnp.cross(u_d, n)
+    v_d = v_d / jnp.where(jnp.linalg.norm(v_d, axis=-1, keepdims=True) > 0,
+                          jnp.linalg.norm(v_d, axis=-1, keepdims=True), 1.0)
+    w = u_rand[..., None]
+    ang = TWO_PI * theta_rand[..., None]
+    d_diff = (w * jnp.cos(ang) * u_d + w * jnp.sin(ang) * v_d
+              + jnp.sqrt(jnp.maximum(1.0 - w * w, 0.0)) * n)
+    norm = jnp.linalg.norm(d_diff, axis=-1, keepdims=True)
+    d_diff = d_diff / jnp.where(norm > 0, norm, 1.0)
+
+    # --- GLOSSY -----------------------------------------------------------
+    u_g = _frame_u(r, FLT_EPSILON)
+    v_g = jnp.cross(u_g, r)  # not re-normalised (reference parity)
+    wg = (u_rand * roughness)[..., None]
+    d_gloss = (wg * jnp.cos(ang) * u_g + wg * jnp.sin(ang) * v_g
+               + jnp.sqrt(jnp.maximum(1.0 - wg * wg, 0.0)) * r)
+
+    # --- GLASS ------------------------------------------------------------
+    nc, ng = 1.0, 1.5
+    eta_in = eta_inside if eta_inside is not None else jnp.float32(ng / nc)
+    eta_out = eta_outside if eta_outside is not None else jnp.float32(nc / ng)
+    eta = jnp.where(inside, eta_in, eta_out)
+    r0 = ((nc - ng) / (nc + ng)) ** 2
+    c = jnp.abs(jnp.sum(rd * n, axis=-1))
+    k = 1.0 - eta * eta * (1.0 - c * c)
+    re = r0 + (1.0 - r0) * (1.0 - c) ** 2  # Schlick power 2 (reference parity)
+    tir = k < 0.0
+    reflect_glass = tir | (fresnel_rand < re)
+    ndotd = jnp.sum(n * rd, axis=-1)
+    d_refr = (eta[..., None] * rd
+              - (eta * ndotd + jnp.sqrt(jnp.maximum(k, 0.0)))[..., None] * n)
+    norm = jnp.linalg.norm(d_refr, axis=-1, keepdims=True)
+    d_refr = d_refr / jnp.where(norm > 0, norm, 1.0)
+    d_glass = jnp.where(reflect_glass[..., None], r, d_refr)
+
+    # --- select by material type ------------------------------------------
+    is_spec = (mat_type == 1)[..., None]
+    is_diff = (mat_type == 0)[..., None]
+    is_glos = (mat_type == 2)[..., None]
+    is_glass = (mat_type == 3)[..., None]
+    direction = jnp.where(is_spec, r,
+                jnp.where(is_diff, d_diff,
+                jnp.where(is_glos, d_gloss, d_glass)))
+
+    refracted = is_glass[..., 0] & ~reflect_glass
+    new_inside = jnp.where(refracted, ~inside, inside)
+    return BounceSample(direction, refracted, new_inside)

@@ -1,0 +1,423 @@
+"""Authoritative host-side scene graph and its device compilation.
+
+This module plays the role of the reference's ``Previewer`` scene graph
+(previewer.h:16-143 — objects, transforms, per-element materials, textures)
+plus the tracer-side scene API (``PathTracer::SetMaterial/SetWaveLengths/
+SetSpectrumMaterials/SetSky/InitializeSpectrumMaterials/BuildBVH``,
+pathtracer.cpp:150-359). Where the reference *push-synchronises* the
+previewer into the tracer by re-parsing every OBJ from disk on each render
+start (previewer.cpp:707-738), this framework compiles the scene graph once
+into a ``SceneData`` pytree of device arrays (with host-side OBJ caching) and
+re-uses it until the scene changes.
+
+Defaults follow the reference's ``ClearScene`` (main.cpp:342-365).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .constants import EPS
+from .models.materials import Material, MaterialType, SpectrumMaterial
+from .models import transforms
+from .models.geometry import TriangleSoA, build_triangle_soa, empty_soa
+from .models.camera import Camera
+from .ops import planck
+from .ops.texturing import build_texture_table
+from .utils import obj_loader, image as image_util, tempdata
+
+
+class SceneData(NamedTuple):
+    """Device-resident compiled scene (a pytree of jnp arrays).
+
+    Triangle SoA fields mirror models/geometry.TriangleSoA; material tables
+    are indexed by the flat per-element material id.
+    """
+
+    # triangles [T, ...]
+    tri_v1: jnp.ndarray
+    tri_e1: jnp.ndarray
+    tri_e2: jnp.ndarray
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_n3: jnp.ndarray
+    tri_uv1: jnp.ndarray
+    tri_uv2: jnp.ndarray
+    tri_uv3: jnp.ndarray
+    tri_face_n: jnp.ndarray
+    tri_tangent: jnp.ndarray
+    tri_bitangent: jnp.ndarray
+    tri_d00: jnp.ndarray
+    tri_d01: jnp.ndarray
+    tri_d11: jnp.ndarray
+    tri_inv_denom: jnp.ndarray
+    tri_smoothing: jnp.ndarray   # [T] bool
+    tri_material: jnp.ndarray    # [T] int32
+
+    # materials [M, ...]
+    mat_type: jnp.ndarray        # [M] int32
+    mat_rr_prob: jnp.ndarray     # [M] min(0.95, max(baseColor))
+    mat_roughness: jnp.ndarray   # [M]
+    mat_emissivity: jnp.ndarray  # [M, nw] baked BBP(T)*eps
+    mat_reflectivity: jnp.ndarray  # [M, nw] baked BBP(T)*(1-eps)
+    mat_eps_curve: jnp.ndarray   # [M, nw] raw eps_lambda (temp-map path)
+    mat_normal_tex: jnp.ndarray  # [M] int32, -1 none
+    mat_roughness_tex: jnp.ndarray  # [M] int32
+    mat_temp_grid: jnp.ndarray   # [M] int32 index into temperature grids
+
+    # texture tables
+    textures: jnp.ndarray        # [K, Hm, Wm, 4]
+    texture_sizes: jnp.ndarray   # [K, 2] (w, h)
+    temp_grids: jnp.ndarray      # [K2, Hm2, Wm2]
+    temp_grid_sizes: jnp.ndarray  # [K2, 2]
+
+    # spectral
+    wavenumbers: jnp.ndarray     # [nw]
+    sky: jnp.ndarray             # [nw]
+
+    # flat BVH (ops/bvh.py layout); single-node passthrough when unused
+    bvh_node_min: jnp.ndarray    # [NN, 3]
+    bvh_node_max: jnp.ndarray    # [NN, 3]
+    bvh_node_skip: jnp.ndarray   # [NN] int32 miss/skip link
+    bvh_node_first: jnp.ndarray  # [NN] int32 first triangle (leaves)
+    bvh_node_count: jnp.ndarray  # [NN] int32 triangle count (0 = internal)
+
+    @property
+    def n_waves(self) -> int:
+        return self.wavenumbers.shape[0]
+
+    @property
+    def n_triangles(self) -> int:
+        return self.tri_v1.shape[0]
+
+
+@dataclasses.dataclass
+class SceneElement:
+    """One named sub-mesh with a material (reference previewer.h:29-63)."""
+
+    name: str = ""
+    material: Material = dataclasses.field(default_factory=Material)
+    highlight: bool = False
+
+
+@dataclasses.dataclass
+class SceneObject:
+    """One loaded OBJ instance (reference previewer.h:65-142)."""
+
+    name: str
+    filename: str
+    elements: List[SceneElement] = dataclasses.field(default_factory=list)
+    is_selected: bool = False
+    is_scale_locked: bool = True
+
+    _location: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3, np.float32))
+    _rotation: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3, np.float32))
+    _scale: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.ones(3, np.float32))
+
+    # -- transform accessors (previewer.cpp:644-705 semantics) --------------
+    @property
+    def location(self) -> np.ndarray:
+        return self._location.copy()
+
+    @property
+    def rotation(self) -> np.ndarray:
+        return self._rotation.copy()
+
+    @property
+    def scale(self) -> np.ndarray:
+        return self._scale.copy()
+
+    def set_location(self, v) -> None:
+        self._location = np.asarray(v, np.float32).copy()
+
+    def set_rotation(self, v) -> None:
+        """Angles normalised to [0, 360) (previewer.cpp:651-667)."""
+        self._rotation = np.asarray(
+            transforms.normalize_rotation(tuple(np.asarray(v, np.float64))),
+            np.float32)
+
+    def set_scale(self, v) -> None:
+        """Clamped at 0.001; uniform when scale-locked (previewer.cpp:669-705)."""
+        v = np.maximum(np.asarray(v, np.float32), 0.001)
+        if self.is_scale_locked:
+            changed = np.nonzero(v != self._scale)[0]
+            if changed.size:
+                ratio = v[changed[0]] / max(self._scale[changed[0]], 1e-30)
+                v = np.maximum(self._scale * ratio, 0.001)
+        self._scale = v
+
+    def model_matrix(self) -> np.ndarray:
+        return transforms.model_matrix(self._location, self._rotation,
+                                       self._scale)
+
+
+class Scene:
+    """The complete authorable scene (waves, materials, objects, camera)."""
+
+    def __init__(self):
+        self.wavelengths: List[float] = []      # wavenumbers in 1/cm
+        self.spectrum_materials: List[SpectrumMaterial] = []
+        self.sky_material_id: int = -1
+        self.sky_temperature: float = 0.0       # deg C
+        self.trace_depth: int = 3
+        self.resolution: Tuple[int, int] = (1024, 768)
+        self.auto_res: bool = False
+        self.objects: List[SceneObject] = []
+        self.camera_position: np.ndarray = np.array([0.0, 0.0, -10.0], np.float32)
+        self.camera_rotation: np.ndarray = np.zeros(3, np.float32)  # deg
+        self.camera_focal: float = 0.1
+        self.camera_fovy: float = 90.0
+        self.file_path: str = ""
+        self.modified: bool = False
+        self._mesh_cache: Dict[str, obj_loader.ObjMesh] = {}
+
+    # -- camera (previewer.cpp:740-829) -------------------------------------
+    def camera(self) -> Camera:
+        d, u = transforms.camera_basis_from_rotation(self.camera_rotation)
+        return Camera(tuple(self.camera_position.tolist()), tuple(d.tolist()),
+                      tuple(u.tolist()), self.camera_focal, self.camera_fovy)
+
+    def set_camera(self, position, rotation_deg=None) -> None:
+        self.camera_position = np.asarray(position, np.float32).copy()
+        if rotation_deg is not None:
+            self.camera_rotation = np.asarray(
+                transforms.normalize_rotation(tuple(rotation_deg)), np.float32)
+        self.modified = True
+
+    # -- object management (previewer.cpp:294-946) ---------------------------
+    def load_object(self, path: str, name: Optional[str] = None) -> SceneObject:
+        """Load an OBJ as a new scene object; elements = OBJ shapes.
+
+        Object naming follows pathtracer.cpp:54-60 (basename sans extension).
+        """
+        mesh = self._load_mesh(path)
+        if name is None:
+            base = path.replace("\\", "/").rsplit("/", 1)[-1]
+            name = base.rsplit(".", 1)[0] if "." in base else base
+        obj = SceneObject(name=name, filename=path)
+        for shape in mesh.shapes:
+            obj.elements.append(SceneElement(name=shape.name))
+        self.objects.append(obj)
+        self.modified = True
+        return obj
+
+    def _load_mesh(self, path: str) -> obj_loader.ObjMesh:
+        if path not in self._mesh_cache:
+            mesh = obj_loader.load_obj(path)
+            obj_loader.generate_smooth_normals(mesh)
+            self._mesh_cache[path] = mesh
+        return self._mesh_cache[path]
+
+    def delete_selected_objects(self) -> None:
+        self.objects = [o for o in self.objects if not o.is_selected]
+        self.modified = True
+
+    def replace_object(self, index: int, path: str) -> None:
+        """Replace mesh, keep transform (previewer.cpp:895-911)."""
+        old = self.objects[index]
+        new = self.load_object(path)
+        self.objects.pop()  # load_object appended; splice in place instead
+        new._location, new._rotation, new._scale = (
+            old._location, old._rotation, old._scale)
+        self.objects[index] = new
+        self.modified = True
+
+    def rename_object(self, index: int, name: str) -> None:
+        self.objects[index].name = name
+        self.modified = True
+
+    def set_material(self, obj_id: int, element_id: int, material: Material) -> None:
+        """Assign material (reference SetMaterial, pathtracer.cpp:201-211)."""
+        if obj_id >= len(self.objects):
+            return
+        if element_id >= len(self.objects[obj_id].elements):
+            return
+        self.objects[obj_id].elements[element_id].material = material.copy()
+        self.modified = True
+
+    def clear(self) -> None:
+        """Reset to defaults (main.cpp:342-365)."""
+        self.__init__()
+
+    def triangle_count(self) -> int:
+        total = 0
+        for obj in self.objects:
+            try:
+                mesh = self._load_mesh(obj.filename)
+            except OSError:
+                continue
+            total += sum(s.v_idx.shape[0] for s in mesh.shapes)
+        return total
+
+    # -- compilation ---------------------------------------------------------
+    def compile(self, build_bvh: bool = True, leaf_size: int = 4) -> SceneData:
+        """Bake the scene into device arrays.
+
+        Replaces SendObjectsToPathTracer + InitializeSpectrumMaterials +
+        SetSky + BuildBVH (previewer.cpp:707-738, pathtracer.cpp:275-309,
+        mesh.cpp:177-221) with a single host->device upload.
+        """
+        nw = len(self.wavelengths)
+        wavenumbers = np.asarray(self.wavelengths, np.float32)
+
+        # ---- flat material table (one row per object-element) ----
+        mats: List[Material] = []
+        mat_ids_per_obj: List[List[int]] = []
+        for obj in self.objects:
+            ids = []
+            for el in obj.elements:
+                ids.append(len(mats))
+                mats.append(el.material)
+            mat_ids_per_obj.append(ids)
+        if not mats:
+            mats = [Material()]
+            mat_ids_per_obj = []
+
+        m = len(mats)
+        mat_type = np.array([int(mt.type) for mt in mats], np.int32)
+        mat_rr = np.array(
+            [min(0.95, max(mt.base_color)) for mt in mats], np.float32)
+        mat_rough = np.array([mt.roughness for mt in mats], np.float32)
+
+        eps_curve = np.zeros((m, nw), np.float32)
+        emis = np.zeros((m, nw), np.float32)
+        refl = np.zeros((m, nw), np.float32)
+        for i, mt in enumerate(mats):
+            sid = mt.spectrum_mat_id
+            if sid < 0 or sid >= len(self.spectrum_materials) or nw == 0:
+                continue  # stays zero (InitializeSpectrumMaterials else-branch)
+            curve = np.zeros(nw, np.float32)
+            src = self.spectrum_materials[sid].emissivity
+            curve[:min(nw, len(src))] = np.asarray(src[:nw], np.float32)
+            eps_curve[i] = curve
+            t = mt.clamped_temperature()
+            emis[i] = np.asarray(planck.bake_emissivity(curve, t, wavenumbers))
+            refl[i] = np.asarray(planck.bake_reflectivity(curve, t, wavenumbers))
+
+        # ---- textures & temperature grids ----
+        tex_images: List[np.ndarray] = []
+        tex_index: Dict[str, int] = {}
+        grid_images: List[np.ndarray] = []
+        grid_index: Dict[str, int] = {}
+
+        def tex_id(path: str) -> int:
+            if not path:
+                return -1
+            if path not in tex_index:
+                img = image_util.load_rgba(path)
+                if img is None:
+                    tex_index[path] = -1
+                else:
+                    tex_index[path] = len(tex_images)
+                    tex_images.append(img)
+            return tex_index[path]
+
+        def grid_id(path: str) -> int:
+            if not path:
+                return -1
+            if path not in grid_index:
+                g = tempdata.load_temperature_grid(path)
+                if g is None:
+                    grid_index[path] = -1
+                else:
+                    grid_index[path] = len(grid_images)
+                    grid_images.append(g)
+            return grid_index[path]
+
+        mat_ntex = np.array([tex_id(mt.normal_tex_file) for mt in mats], np.int32)
+        mat_rtex = np.array([tex_id(mt.roughness_tex_file) for mt in mats], np.int32)
+        # Temperature-grid re-bake requires a spectrum material: the reference
+        # would index mSpectrumMaterials[-1] (UB, pathtracer.cpp:525-527);
+        # we disable the override instead.
+        mat_grid = np.array(
+            [grid_id(mt.temperature_data_file) if mt.spectrum_mat_id >= 0 else -1
+             for mt in mats], np.int32)
+
+        textures, tex_sizes = build_texture_table(tex_images, channels=4)
+        grids, grid_sizes = build_texture_table(grid_images, channels=0)
+
+        # ---- triangles ----
+        parts: List[TriangleSoA] = []
+        for obj, ids in zip(self.objects, mat_ids_per_obj):
+            try:
+                mesh = self._load_mesh(obj.filename)
+            except OSError:
+                continue  # fail-soft like the reference's parsers
+            parts.append(build_triangle_soa(mesh, obj.model_matrix(), ids))
+        soa = TriangleSoA.concatenate(parts) if parts else empty_soa()
+
+        # ---- BVH ----
+        from .ops import bvh as bvh_mod
+        if build_bvh and soa.count > 0:
+            flat = bvh_mod.build_bvh(soa, leaf_size=leaf_size)
+            soa = soa.gather(flat.tri_order)
+            node_min, node_max = flat.node_min, flat.node_max
+            node_skip, node_first, node_count = (
+                flat.node_skip, flat.node_first, flat.node_count)
+        else:
+            t = max(soa.count, 1)
+            node_min = np.full((1, 3), -np.inf, np.float32)
+            node_max = np.full((1, 3), np.inf, np.float32)
+            node_skip = np.array([1], np.int32)
+            node_first = np.array([0], np.int32)
+            node_count = np.array([soa.count], np.int32)
+
+        if soa.count == 0:  # keep shapes non-empty & static
+            soa = _degenerate_tri_soa()
+
+        # ---- sky (pathtracer.cpp:297-309) ----
+        if (self.sky_material_id < 0
+                or self.sky_material_id >= len(self.spectrum_materials)
+                or nw == 0):
+            sky = np.zeros(nw, np.float32)
+        else:
+            curve = np.zeros(nw, np.float32)
+            src = self.spectrum_materials[self.sky_material_id].emissivity
+            curve[:min(nw, len(src))] = np.asarray(src[:nw], np.float32)
+            sky = np.asarray(planck.bake_emissivity(
+                curve, self.sky_temperature, wavenumbers))
+
+        dev = jnp.asarray
+        return SceneData(
+            tri_v1=dev(soa.v1), tri_e1=dev(soa.e1), tri_e2=dev(soa.e2),
+            tri_n1=dev(soa.n1), tri_n2=dev(soa.n2), tri_n3=dev(soa.n3),
+            tri_uv1=dev(soa.uv1), tri_uv2=dev(soa.uv2), tri_uv3=dev(soa.uv3),
+            tri_face_n=dev(soa.face_n), tri_tangent=dev(soa.tangent),
+            tri_bitangent=dev(soa.bitangent),
+            tri_d00=dev(soa.d00), tri_d01=dev(soa.d01), tri_d11=dev(soa.d11),
+            tri_inv_denom=dev(soa.inv_denom),
+            tri_smoothing=dev(soa.smoothing),
+            tri_material=dev(soa.material_id),
+            mat_type=dev(mat_type), mat_rr_prob=dev(mat_rr),
+            mat_roughness=dev(mat_rough),
+            mat_emissivity=dev(emis), mat_reflectivity=dev(refl),
+            mat_eps_curve=dev(eps_curve),
+            mat_normal_tex=dev(mat_ntex), mat_roughness_tex=dev(mat_rtex),
+            mat_temp_grid=dev(mat_grid),
+            textures=dev(textures), texture_sizes=dev(tex_sizes),
+            temp_grids=dev(grids), temp_grid_sizes=dev(grid_sizes),
+            wavenumbers=dev(wavenumbers), sky=dev(sky.astype(np.float32)),
+            bvh_node_min=dev(node_min), bvh_node_max=dev(node_max),
+            bvh_node_skip=dev(node_skip), bvh_node_first=dev(node_first),
+            bvh_node_count=dev(node_count),
+        )
+
+
+def _degenerate_tri_soa() -> TriangleSoA:
+    """A single zero-area triangle that can never be hit (denom == 0)."""
+    z3 = np.zeros((1, 3), np.float32)
+    z2 = np.zeros((1, 2), np.float32)
+    z1 = np.zeros((1,), np.float32)
+    return TriangleSoA(v1=z3, e1=z3, e2=z3, n1=z3, n2=z3, n3=z3,
+                       uv1=z2, uv2=z2, uv3=z2, face_n=z3,
+                       tangent=z3, bitangent=z3,
+                       d00=z1, d01=z1, d11=z1, inv_denom=z1,
+                       smoothing=np.zeros((1,), bool),
+                       material_id=np.zeros((1,), np.int32))
