@@ -26,6 +26,19 @@ advancing in lockstep. Reference behaviours preserved bit-for-formula:
 * per-hit temperature-grid re-bake of emissivity/reflectivity through the
   Planck curve (pathtracer.cpp:520-528).
 
+TPU-first data flow (each measured on a v5e at 512x512):
+
+* rays, normals and all per-hit scalars live as **[N] component planes**
+  (SoA) — an [N, 3] vector op uses 3 of 128 lanes, a component op all 128;
+* intersection runs in the Pallas kernel (ops/intersect_pallas.py) on TPU,
+  the portable jnp sweep elsewhere;
+* per-hit attributes come from ONE packed [T, F] table fetched *transposed*
+  via a one-hot [F,T]x[T,N] MXU matmul (exact selection), so every attribute
+  arrives as a ready [N] plane — no gathers, no transposes in the loop;
+* spectra are [nw, N] planes (wavelengths broadcast over the lane axis);
+* texture sampling and the temperature re-bake are statically skipped when
+  the scene has no textures/grids (zero-length tables).
+
 RNG: counter-based (threefry) keys per (sample, bounce), replacing the
 reference's single shared mt19937 (pathtracer.cpp:12 — racy across OpenMP
 threads). For tests, ``rand_override`` injects fixed variates so a host
@@ -35,51 +48,55 @@ oracle can replay the identical random sequence.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from .constants import EPS
 from .scene import SceneData
-from .ops import barycentric, planck, sampling
+from .ops import planck, sampling
+from .ops.shade_pack import layout as shade_layout
 from .ops.intersect import intersect_bruteforce
+from .ops.intersect_pallas import intersect_dense_pallas_soa, pack_tri16
 from .ops.bvh import intersect_bvh
 from .ops.texturing import sample_nearest
 
+# Use the one-hot MXU fetch below this triangle count; plain gather above.
+ONEHOT_FETCH_MAX_TRIS = 2048
+
+# "auto" backend: dense sweep below this triangle count, BVH above.
+DENSE_AUTO_MAX_TRIS = 8192
+
+
+def resolve_backend(backend: str, n_tris: int) -> str:
+    """Map 'auto'/'dense' to a concrete implementation for this platform.
+
+    On TPU the dense path uses the Pallas kernel; elsewhere (CPU tests,
+    interpret runs) the portable jnp sweep. Large scenes use the BVH.
+    """
+    platform = jax.devices()[0].platform.lower()
+    on_tpu = platform in ("tpu", "axon")
+    if backend == "auto":
+        backend = "dense" if n_tris <= DENSE_AUTO_MAX_TRIS else "bvh"
+    if backend == "dense" and on_tpu:
+        return "dense_pallas"
+    return backend
+
 
 class TraceResult(NamedTuple):
-    radiance: jnp.ndarray  # [N, nw]
+    radiance: jnp.ndarray     # [N, nw]
     rays_traced: jnp.ndarray  # [] int32 — total rays cast (for Mrays/s)
 
 
-def _shading_normal(scene: SceneData, idx, p, rd, uv, alpha, beta):
-    """Smooth + backface-flip + normal-map chain (pathtracer.cpp:435-448)."""
-    n = scene.tri_face_n[idx]
-    smooth = barycentric.interp_normal(alpha, beta, scene.tri_n1[idx],
-                                       scene.tri_n2[idx], scene.tri_n3[idx])
-    n = jnp.where(scene.tri_smoothing[idx][:, None], smooth, n)
-    # backface flip
-    n = jnp.where((jnp.sum(n * rd, axis=-1) > 0.0)[:, None], -n, n)
-
-    mat = scene.tri_material[idx]
-    ntex = scene.mat_normal_tex[mat]
-    tex = sample_nearest(scene.textures, scene.texture_sizes, ntex, uv)
-    nt = tex[:, :3] * 2.0 - 1.0
-    nt = jnp.where((nt[:, 2] < 0.0)[:, None],
-                   nt * jnp.array([1.0, 1.0, 0.0]), nt)
-    norm = jnp.linalg.norm(nt, axis=-1, keepdims=True)
-    nt = nt / jnp.where(norm > 0, norm, 1.0)
-    tbn_n = (scene.tri_tangent[idx] * nt[:, 0:1]
-             + scene.tri_bitangent[idx] * nt[:, 1:2]
-             + n * nt[:, 2:3])
-    norm = jnp.linalg.norm(tbn_n, axis=-1, keepdims=True)
-    tbn_n = tbn_n / jnp.where(norm > 0, norm, 1.0)
-    return jnp.where((ntex >= 0)[:, None], tbn_n, n)
+def _norm3(x, y, z):
+    n = jnp.sqrt(x * x + y * y + z * z)
+    inv = jnp.where(n > 0, 1.0 / jnp.where(n > 0, n, 1.0), 0.0)
+    return x * inv, y * inv, z * inv
 
 
 def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
-                   backend: str = "bvh", leaf_size: int = 4,
+                   backend: str = "auto", leaf_size: int = 4,
                    rand_override: Optional[jnp.ndarray] = None) -> TraceResult:
     """Trace radiance spectra for a batch of rays.
 
@@ -89,7 +106,7 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
       key: PRNG key for this sample.
       max_depth: the reference's trace depth (GUI range 1..10); the loop runs
         2*max_depth hit iterations (pathtracer.cpp:455).
-      backend: "bvh" (skip-link traversal) or "dense" (all-triangles sweep).
+      backend: "auto", "dense", "dense_pallas" or "bvh".
       rand_override: optional [2*max_depth, 4, N] fixed U[0,1) variates
         (testing: lets a host oracle replay the same sequence).
 
@@ -98,40 +115,126 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
     """
     n = ro.shape[0]
     nw = scene.wavenumbers.shape[0]
+    n_tris = scene.tri_shade.shape[0]
+    lay = shade_layout(nw)
+    has_tex = scene.textures.shape[0] > 0
+    has_grids = scene.temp_grids.shape[0] > 0
+    backend = resolve_backend(backend, n_tris=n_tris)
 
-    def intersect(o, d):
+    tri16 = (pack_tri16(scene.tri_face_n, scene.tri_k1, scene.tri_k2,
+                        scene.tri_k3, scene.tri_consts)
+             if backend == "dense_pallas" else None)
+    shade_t = scene.tri_shade.T  # [F, T] — loop-invariant, hoisted by XLA
+
+    def intersect(ox, oy, oz, dx, dy, dz):
+        if backend == "dense_pallas":
+            return intersect_dense_pallas_soa(ox, oy, oz, dx, dy, dz, tri16)
+        o = jnp.stack([ox, oy, oz], axis=1)
+        d = jnp.stack([dx, dy, dz], axis=1)
         if backend == "dense":
-            return intersect_bruteforce(o, d, scene.tri_v1, scene.tri_e1,
-                                        scene.tri_e2, scene.tri_face_n)
+            return intersect_bruteforce(o, d, scene.tri_face_n, scene.tri_k1,
+                                        scene.tri_k2, scene.tri_k3,
+                                        scene.tri_consts)
         return intersect_bvh(o, d, scene.tri_v1, scene.tri_e1, scene.tri_e2,
                              scene.tri_face_n, scene.bvh_node_min,
                              scene.bvh_node_max, scene.bvh_node_skip,
                              scene.bvh_node_first, scene.bvh_node_count,
                              leaf_size=leaf_size)
 
+    def fetch_attrs_t(idx):
+        """[F, N] attribute planes for each ray's hit triangle."""
+        if n_tris <= ONEHOT_FETCH_MAX_TRIS:
+            onehot_t = (jnp.arange(n_tris, dtype=jnp.int32)[:, None]
+                        == idx[None, :]).astype(jnp.float32)   # [T, N]
+            return jnp.dot(shade_t, onehot_t,
+                           preferred_element_type=jnp.float32)
+        return scene.tri_shade[idx].T
+
+    def row(attrs_t, name):
+        return attrs_t[lay[name].start]
+
+    def row3(attrs_t, name):
+        s = lay[name].start
+        return attrs_t[s], attrs_t[s + 1], attrs_t[s + 2]
+
+    def rows(attrs_t, name):
+        return attrs_t[lay[name]]
+
     def body(h, state):
-        ro, rd, throughput, radiance, inside, alive, rays_traced = state
+        (rox, roy, roz, rdx, rdy, rdz,
+         throughput_t, radiance_t, inside, alive, rays_traced) = state
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.int32))
 
-        hit, t, idx = intersect(ro, rd)
+        hit, t, idx = intersect(rox, roy, roz, rdx, rdy, rdz)
         hit = hit & alive
 
-        # ---- hit data ----
-        p = ro + t[:, None] * rd
-        alpha, beta = barycentric.barycentric_coords(
-            p, scene.tri_v1[idx], scene.tri_e1[idx], scene.tri_e2[idx],
-            scene.tri_d00[idx], scene.tri_d01[idx], scene.tri_d11[idx],
-            scene.tri_inv_denom[idx])
-        uv = barycentric.interp_uv(alpha, beta, scene.tri_uv1[idx],
-                                   scene.tri_uv2[idx], scene.tri_uv3[idx])
-        nrm = _shading_normal(scene, idx, p, rd, uv, alpha, beta)
-        p_off = p + nrm * EPS
+        attrs_t = fetch_attrs_t(idx)
 
-        mat = scene.tri_material[idx]
-        roughness = scene.mat_roughness[mat]
-        rtex = scene.mat_roughness_tex[mat]
-        rough_tex = sample_nearest(scene.textures, scene.texture_sizes, rtex, uv)
-        roughness = jnp.where(rtex >= 0, rough_tex[:, 0], roughness)
+        # ---- hit geometry (barycentric alpha/beta, uv) ----
+        px, py, pz = rox + t * rdx, roy + t * rdy, roz + t * rdz
+        v1x, v1y, v1z = row3(attrs_t, "v1")
+        e1x, e1y, e1z = row3(attrs_t, "e1")
+        e2x, e2y, e2z = row3(attrs_t, "e2")
+        wx, wy, wz = px - v1x, py - v1y, pz - v1z
+        d20 = wx * e1x + wy * e1y + wz * e1z
+        d21 = wx * e2x + wy * e2y + wz * e2z
+        inv_denom = row(attrs_t, "inv_denom")
+        d00 = row(attrs_t, "d00")
+        d01 = row(attrs_t, "d01")
+        d11 = row(attrs_t, "d11")
+        alpha = (d11 * d20 - d01 * d21) * inv_denom
+        beta = (d00 * d21 - d01 * d20) * inv_denom
+        w0 = 1.0 - alpha - beta
+
+        s = lay["uv1"].start
+        uvu = w0 * attrs_t[s] + alpha * attrs_t[s + 2] + beta * attrs_t[s + 4]
+        uvv = (w0 * attrs_t[s + 1] + alpha * attrs_t[s + 3]
+               + beta * attrs_t[s + 5])
+
+        # ---- shading normal: smooth -> backface flip -> normal map ----
+        fnx, fny, fnz = row3(attrs_t, "face_n")
+        n1x, n1y, n1z = row3(attrs_t, "n1")
+        n2x, n2y, n2z = row3(attrs_t, "n2")
+        n3x, n3y, n3z = row3(attrs_t, "n3")
+        smx = w0 * n1x + alpha * n2x + beta * n3x
+        smy = w0 * n1y + alpha * n2y + beta * n3y
+        smz = w0 * n1z + alpha * n2z + beta * n3z
+        smx, smy, smz = _norm3(smx, smy, smz)
+        smooth = row(attrs_t, "smoothing") > 0.5
+        nx = jnp.where(smooth, smx, fnx)
+        ny = jnp.where(smooth, smy, fny)
+        nz = jnp.where(smooth, smz, fnz)
+        backface = (nx * rdx + ny * rdy + nz * rdz) > 0.0
+        nx = jnp.where(backface, -nx, nx)
+        ny = jnp.where(backface, -ny, ny)
+        nz = jnp.where(backface, -nz, nz)
+
+        roughness = row(attrs_t, "roughness")
+        if has_tex:
+            uv = jnp.stack([uvu, uvv], axis=1)
+            ntex = row(attrs_t, "normal_tex").astype(jnp.int32)
+            tex = sample_nearest(scene.textures, scene.texture_sizes, ntex, uv)
+            ntx, nty, ntz = (tex[:, 0] * 2.0 - 1.0, tex[:, 1] * 2.0 - 1.0,
+                             tex[:, 2] * 2.0 - 1.0)
+            ntz = jnp.where(ntz < 0.0, 0.0, ntz)
+            ntx, nty, ntz = _norm3(ntx, nty, ntz)
+            tax, tay, taz = row3(attrs_t, "tangent")
+            bx, by, bz = row3(attrs_t, "bitangent")
+            mnx = tax * ntx + bx * nty + nx * ntz
+            mny = tay * ntx + by * nty + ny * ntz
+            mnz = taz * ntx + bz * nty + nz * ntz
+            mnx, mny, mnz = _norm3(mnx, mny, mnz)
+            use_map = ntex >= 0
+            nx = jnp.where(use_map, mnx, nx)
+            ny = jnp.where(use_map, mny, ny)
+            nz = jnp.where(use_map, mnz, nz)
+
+            rtex = row(attrs_t, "roughness_tex").astype(jnp.int32)
+            rough_tex = sample_nearest(scene.textures, scene.texture_sizes,
+                                       rtex, uv)
+            roughness = jnp.where(rtex >= 0, rough_tex[:, 0], roughness)
+
+        pox, poy, poz = px + nx * EPS, py + ny * EPS, pz + nz * EPS
 
         # ---- randoms ----
         if rand_override is not None:
@@ -146,61 +249,74 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
 
         # ---- Russian roulette (from the max_depth-th hit on) ----
         rr_active = jnp.asarray(h >= max_depth - 1)
-        killed = hit & rr_active & (rr_rand > scene.mat_rr_prob[mat])
+        killed = hit & rr_active & (rr_rand > row(attrs_t, "rr_prob"))
 
         # ---- emissivity / reflectivity (+ temperature-grid re-bake) ----
-        emis = scene.mat_emissivity[mat]
-        refl = scene.mat_reflectivity[mat]
-        grid = scene.mat_temp_grid[mat]
-        temp = sample_nearest(scene.temp_grids, scene.temp_grid_sizes, grid, uv)
-        bbp = planck.planck_bbp(temp + planck.CELSIUS_OFFSET, scene.wavenumbers)
-        eps_curve = scene.mat_eps_curve[mat]
-        has_grid = (grid >= 0)[:, None]
-        emis_eff = jnp.where(has_grid, bbp * eps_curve, emis)
-        refl_eff = jnp.where(has_grid, bbp * (1.0 - eps_curve), refl)
+        emis_t = rows(attrs_t, "emissivity")        # [nw, N]
+        refl_t = rows(attrs_t, "reflectivity")
+        if has_grids:
+            grid = row(attrs_t, "temp_grid").astype(jnp.int32)
+            uv = jnp.stack([uvu, uvv], axis=1)
+            temp = sample_nearest(scene.temp_grids, scene.temp_grid_sizes,
+                                  grid, uv)
+            bbp_t = planck.planck_bbp(temp + planck.CELSIUS_OFFSET,
+                                      scene.wavenumbers).T   # [nw, N]
+            eps_t = rows(attrs_t, "eps_curve")
+            has_grid = (grid >= 0)[None, :]
+            emis_eff = jnp.where(has_grid, bbp_t * eps_t, emis_t)
+            refl_eff = jnp.where(has_grid, bbp_t * (1.0 - eps_t), refl_t)
+        else:
+            emis_eff = emis_t
+            refl_eff = refl_t
 
         # ---- radiance/throughput updates ----
         # miss: sky, die. kill: BAKED emissivity, die. survive: effective
         # emissivity, throughput *= effective reflectivity.
         miss = alive & ~hit
         survive = hit & ~killed
-        contrib = (miss[:, None] * scene.sky[None, :]
-                   + (killed[:, None] * emis)
-                   + (survive[:, None] * emis_eff))
-        radiance = radiance + throughput * contrib
-        throughput = jnp.where(survive[:, None], throughput * refl_eff,
-                               throughput)
+        contrib = (miss[None, :] * scene.sky[:, None]
+                   + killed[None, :] * emis_t
+                   + survive[None, :] * emis_eff)
+        radiance_t = radiance_t + throughput_t * contrib
+        throughput_t = jnp.where(survive[None, :], throughput_t * refl_eff,
+                                 throughput_t)
 
         # ---- bounce ----
-        bounce = sampling.sample_bounce(scene.mat_type[mat], rd, nrm,
-                                        roughness, inside,
-                                        u_rand, th_rand, fr_rand)
-        new_ro = jnp.where(bounce.refracted[:, None],
-                           p_off - nrm * (EPS * 2.0), p_off)
-        ro = jnp.where(survive[:, None], new_ro, ro)
-        rd = jnp.where(survive[:, None], bounce.direction, rd)
-        inside = jnp.where(survive, bounce.new_inside, inside)
+        b = sampling.sample_bounce_soa(
+            row(attrs_t, "mat_type").astype(jnp.int32),
+            rdx, rdy, rdz, nx, ny, nz, roughness, inside,
+            u_rand, th_rand, fr_rand)
+        back = jnp.where(b.refracted, EPS * 2.0, 0.0)
+        rox = jnp.where(survive, pox - nx * back, rox)
+        roy = jnp.where(survive, poy - ny * back, roy)
+        roz = jnp.where(survive, poz - nz * back, roz)
+        rdx = jnp.where(survive, b.dx, rdx)
+        rdy = jnp.where(survive, b.dy, rdy)
+        rdz = jnp.where(survive, b.dz, rdz)
+        inside = jnp.where(survive, b.new_inside, inside)
         alive = survive
-        return ro, rd, throughput, radiance, inside, alive, rays_traced
+        return (rox, roy, roz, rdx, rdy, rdz,
+                throughput_t, radiance_t, inside, alive, rays_traced)
 
-    state = (ro, rd,
-             jnp.ones((n, nw), jnp.float32),
-             jnp.zeros((n, nw), jnp.float32),
+    state = (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+             jnp.ones((nw, n), jnp.float32),
+             jnp.zeros((nw, n), jnp.float32),
              jnp.zeros(n, bool),
              jnp.ones(n, bool),
              jnp.zeros((), jnp.int32))
-    ro_f, rd_f, throughput, radiance, inside, alive, rays_traced = (
-        jax.lax.fori_loop(0, 2 * max_depth, body, state))
+    state = jax.lax.fori_loop(0, 2 * max_depth, body, state)
+    throughput_t, radiance_t, alive, rays_traced = (state[6], state[7],
+                                                    state[9], state[10])
 
     # depth-cap fall-through: surviving rays see the sky (pathtracer.cpp:536-540)
-    radiance = radiance + alive[:, None] * throughput * scene.sky[None, :]
-    return TraceResult(radiance, rays_traced)
+    radiance_t = radiance_t + alive[None, :] * throughput_t * scene.sky[:, None]
+    return TraceResult(radiance_t.T, rays_traced)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("max_depth", "backend", "leaf_size"))
 def render_sample(scene: SceneData, ro, rd, total, samples, key,
-                  max_depth: int, backend: str = "bvh", leaf_size: int = 4):
+                  max_depth: int, backend: str = "auto", leaf_size: int = 4):
     """One progressive sample: trace all pixels once and accumulate.
 
     Reproduces ``RenderFrame``'s accumulation (pathtracer.cpp:595-598):

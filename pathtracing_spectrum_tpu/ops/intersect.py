@@ -1,114 +1,147 @@
-"""Ray-triangle intersection (device side).
+"""Ray-triangle intersection (device side), TPU-layout-optimised.
 
-Reproduces the reference's intersection predicate exactly
-(mesh.cpp:283-295 leaf test + the blackpawn same-side point-in-triangle test
-at mesh.cpp:225-237):
+Semantics are the reference's exactly (mesh.cpp:283-295 plane hit +
+blackpawn same-side point-in-triangle, mesh.cpp:225-237):
 
-* plane hit:  ``t = dot(v1 - ro, n) / dot(rd, n)``; parallel rays
-  (``dot(rd, n) == 0`` — exact compare, like the reference) and ``t < 0``
-  miss;
-* inside test: three same-side checks with ``>= 0`` (edge-inclusive).
+* ``t = dot(v1 - ro, n) / dot(rd, n)``; parallel (``dot(rd,n) == 0``) or
+  ``t < 0`` miss;
+* inside iff three same-side tests pass with ``>= 0``.
 
-The reference walks a pointer BVH recursively and returns the nearer child
-hit (mesh.cpp:239-280) — which is exactly "closest valid hit over all
-triangles". On TPU the same result comes from a *dense* ray x triangle sweep:
-a regular, divergence-free computation that maps to the VPU/MXU (the `denom`
-term is literally a [N,3]x[3,C] matmul). For large scenes the BVH path
-(ops/bvh.py) prunes; for small/medium scenes dense wins outright.
+TPU-first re-formulation: the naive test materialises [N, C, 3] cross
+products (lane dimension 3 — the worst possible TPU layout). Each same-side
+term is a scalar triple product, so by the identity
+``cross(a, p) . c == p . cross(c, a)`` it collapses to a dot with a
+*per-triangle constant vector*::
 
-Triangles are processed in static chunks via ``lax.fori_loop`` so peak
-memory stays ~[N, CHUNK, 3] regardless of scene size.
+    s1 = (p - v2) . K1,  K1 = cross(cross(e2-e1, -e1), e2-e1)
+    s2 = (p - v1) . K2,  K2 = cross(cross(e2, e1), e2)
+    s3 = (p - v1) . K3,  K3 = cross(cross(e1, e2), e1)
+
+and with ``p = ro + t*rd`` the entire predicate needs only ``ro . X`` and
+``rd . X`` for X in {n, K1, K2, K3} — eight [N,3]x[3,C] contractions plus
+elementwise [N, C] math with the chunk axis (128-aligned) in the lanes. No
+3-vectors ever touch the hot loop.
+
+The reference's closest-hit-over-all-triangles result (its recursive BVH,
+mesh.cpp:239-280, returns the nearer child) comes from a dense sweep over
+triangle chunks inside a ``lax.fori_loop`` — a regular, divergence-free
+computation. For large scenes ops/bvh.py prunes instead.
 """
 
 from __future__ import annotations
 
-import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 BIG = jnp.float32(3.0e38)
 
 
-def _chunk_hits(ro, rd, v1, e1, e2, n):
-    """Closest-hit candidates of one triangle chunk.
+def precompute_intersect_tables(v1, e1, e2, face_n
+                                ) -> Tuple[np.ndarray, np.ndarray,
+                                           np.ndarray, np.ndarray]:
+    """Host-side per-triangle constants for the matmul-form inside test.
 
-    Args:
-      ro, rd: [N, 3] rays.
-      v1, e1, e2, n: [C, 3] chunk triangle data (v2=v1+e1, v3=v1+e2, unit n).
-
-    Returns:
-      t: [N, C] hit distance, BIG where invalid.
+    Returns (k1, k2, k3 [T,3], consts [T,4]) with
+    consts = (v1n, c1, c2, c3) = (v1.n, v2.K1, v1.K2, v1.K3).
     """
-    # denom = dot(rd, n) per ray-triangle pair: an [N,3] x [3,C] contraction.
-    denom = jnp.einsum("nk,ck->nc", rd, n, preferred_element_type=jnp.float32)
-    v1n = jnp.einsum("ck,ck->c", v1, n, preferred_element_type=jnp.float32)
-    ron = jnp.einsum("nk,ck->nc", ro, n, preferred_element_type=jnp.float32)
-    safe_denom = jnp.where(denom == 0.0, 1.0, denom)
-    t = (v1n[None, :] - ron) / safe_denom
-
-    # p on the plane, for the same-side tests
-    p = ro[:, None, :] + t[..., None] * rd[:, None, :]  # [N,C,3]
-
+    v1 = np.asarray(v1, np.float64)
+    e1 = np.asarray(e1, np.float64)
+    e2 = np.asarray(e2, np.float64)
+    n = np.asarray(face_n, np.float64)
     v2 = v1 + e1
-    # IsInside(p, a=v1, b=v2, c=v3) (mesh.cpp:234-237):
-    #   edge (b,c): ba = v3-v2 = e2-e1 ; ref1 = a-b = -e1
-    #   edge (a,c): ba = v3-v1 = e2   ; ref2 = b-a = e1
-    #   edge (a,b): ba = v2-v1 = e1   ; ref3 = c-a = e2
     ba1 = e2 - e1
-    cp2_1 = jnp.cross(ba1, -e1)        # [C,3] constant per tri
-    cp2_2 = jnp.cross(e2, e1)
-    cp2_3 = jnp.cross(e1, e2)
+    k1 = np.cross(np.cross(ba1, -e1), ba1)
+    k2 = np.cross(np.cross(e2, e1), e2)
+    k3 = np.cross(np.cross(e1, e2), e1)
+    consts = np.stack([
+        np.einsum("ij,ij->i", v1, n),
+        np.einsum("ij,ij->i", v2, k1),
+        np.einsum("ij,ij->i", v1, k2),
+        np.einsum("ij,ij->i", v1, k3),
+    ], axis=1)
+    return (k1.astype(np.float32), k2.astype(np.float32),
+            k3.astype(np.float32), consts.astype(np.float32))
 
-    pmb = p - v2[None, :, :]
-    pma = p - v1[None, :, :]
-    s1 = jnp.einsum("nck,nck->nc", jnp.cross(ba1[None, :, :], pmb),
-                    jnp.broadcast_to(cp2_1[None, :, :], p.shape)) >= 0.0
-    s2 = jnp.einsum("nck,nck->nc", jnp.cross(e2[None, :, :], pma),
-                    jnp.broadcast_to(cp2_2[None, :, :], p.shape)) >= 0.0
-    s3 = jnp.einsum("nck,nck->nc", jnp.cross(e1[None, :, :], pma),
-                    jnp.broadcast_to(cp2_3[None, :, :], p.shape)) >= 0.0
 
-    valid = (denom != 0.0) & (t >= 0.0) & s1 & s2 & s3
+def _chunk_hits(ro, rd, n, k1, k2, k3, consts):
+    """Hit distances for one triangle chunk; BIG where invalid.
+
+    ro, rd: [N, 3]; n/k1/k2/k3: [C, 3]; consts: [C, 4].
+    Returns t [N, C].
+
+    This is the portable jnp form (ops/intersect_pallas.py is the tuned TPU
+    kernel with the identical predicate).
+    """
+    # Pack the four per-triangle direction tables into one [3, 4C] operand so
+    # XLA sees two dense [N,3]x[3,4C] contractions.
+    mats = jnp.concatenate([n, k1, k2, k3], axis=0)  # [4C, 3]
+    ro_d = jnp.einsum("nk,ck->nc", ro, mats,
+                      preferred_element_type=jnp.float32)  # [N, 4C]
+    rd_d = jnp.einsum("nk,ck->nc", rd, mats,
+                      preferred_element_type=jnp.float32)
+    c = n.shape[0]
+    ro_n, ro_k1, ro_k2, ro_k3 = (ro_d[:, :c], ro_d[:, c:2*c],
+                                 ro_d[:, 2*c:3*c], ro_d[:, 3*c:])
+    rd_n, rd_k1, rd_k2, rd_k3 = (rd_d[:, :c], rd_d[:, c:2*c],
+                                 rd_d[:, 2*c:3*c], rd_d[:, 3*c:])
+
+    denom = rd_n
+    safe = jnp.where(denom == 0.0, 1.0, denom)
+    t = (consts[None, :, 0] - ro_n) / safe
+
+    s1 = ro_k1 + t * rd_k1 - consts[None, :, 1]
+    s2 = ro_k2 + t * rd_k2 - consts[None, :, 2]
+    s3 = ro_k3 + t * rd_k3 - consts[None, :, 3]
+
+    valid = ((denom != 0.0) & (t >= 0.0)
+             & (s1 >= 0.0) & (s2 >= 0.0) & (s3 >= 0.0))
     return jnp.where(valid, t, BIG)
 
 
-def intersect_bruteforce(ro, rd, tri_v1, tri_e1, tri_e2, tri_n,
-                         chunk: int = 256):
-    """Closest hit over all triangles.
+def intersect_bruteforce(ro, rd, tri_n, tri_k1, tri_k2, tri_k3, tri_consts,
+                         chunk: int = 512):
+    """Closest hit over all triangles (dense sweep).
 
     Args:
-      ro, rd: [N, 3] ray origins/directions.
-      tri_v1, tri_e1, tri_e2, tri_n: [T, 3] triangle SoA (may be padded with
-        degenerate triangles — zero normal never hits).
-      chunk: static triangle chunk size.
+      ro, rd: [N, 3] rays.
+      tri_n/tri_k1/tri_k2/tri_k3: [T, 3]; tri_consts: [T, 4]
+        (see precompute_intersect_tables; zero rows never hit).
+      chunk: static triangle chunk size (lane-aligned).
 
-    Returns:
-      (hit [N] bool, t [N] f32, idx [N] int32)
+    Returns (hit [N] bool, t [N] f32, idx [N] int32).
     """
     n_rays = ro.shape[0]
-    n_tris = tri_v1.shape[0]
+    n_tris = tri_n.shape[0]
     if n_tris == 0:
         return (jnp.zeros(n_rays, bool), jnp.full(n_rays, BIG),
                 jnp.zeros(n_rays, jnp.int32))
 
-    chunk = min(chunk, max(1, n_tris))
+    chunk = min(chunk, max(128, ((n_tris + 127) // 128) * 128))
     pad = (-n_tris) % chunk
     if pad:
-        padz = lambda a: jnp.concatenate(
-            [a, jnp.zeros((pad, 3), a.dtype)], axis=0)
-        tri_v1, tri_e1, tri_e2, tri_n = map(padz, (tri_v1, tri_e1, tri_e2, tri_n))
+        tri_n, tri_k1, tri_k2, tri_k3 = (
+            jnp.concatenate([a, jnp.zeros((pad, 3), a.dtype)], axis=0)
+            for a in (tri_n, tri_k1, tri_k2, tri_k3))
+        tri_consts = jnp.concatenate(
+            [tri_consts, jnp.zeros((pad, 4), tri_consts.dtype)], axis=0)
     n_chunks = (n_tris + pad) // chunk
+
+    if n_chunks == 1:
+        t = _chunk_hits(ro, rd, tri_n, tri_k1, tri_k2, tri_k3, tri_consts)
+        best_i = jnp.argmin(t, axis=1).astype(jnp.int32)
+        best_t = jnp.take_along_axis(t, best_i[:, None], axis=1)[:, 0]
+        return best_t < BIG, best_t, best_i
 
     def body(c, carry):
         best_t, best_i = carry
         s = c * chunk
-        t = _chunk_hits(ro, rd,
-                        jax.lax.dynamic_slice_in_dim(tri_v1, s, chunk),
-                        jax.lax.dynamic_slice_in_dim(tri_e1, s, chunk),
-                        jax.lax.dynamic_slice_in_dim(tri_e2, s, chunk),
-                        jax.lax.dynamic_slice_in_dim(tri_n, s, chunk))
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s, chunk)
+        t = _chunk_hits(ro, rd, sl(tri_n), sl(tri_k1), sl(tri_k2),
+                        sl(tri_k3), sl(tri_consts))
         local_i = jnp.argmin(t, axis=1)
         local_t = jnp.take_along_axis(t, local_i[:, None], axis=1)[:, 0]
         better = local_t < best_t

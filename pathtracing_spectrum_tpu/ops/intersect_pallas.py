@@ -1,0 +1,163 @@
+"""Pallas TPU kernel for the dense ray-triangle closest-hit sweep.
+
+Same predicate as ops/intersect.py (reference mesh.cpp:283-295 + blackpawn
+same-side test in the matmul-free K-vector form), hand-scheduled for the VPU:
+
+* **Layout**: rays live in *lanes* (128 per row), triangles in *sublanes* —
+  the [C, 128] hit matrix per (ray-row, chunk) pair is a native VPU tile.
+  Ray components arrive as six [N/128, 128] planes; the per-triangle tables
+  as one packed [T, 16] block (nx ny nz | k1 | k2 | k3 | c0 c1 c2 c3).
+* **Grid**: (ray_blocks, tri_chunks); each step processes RB=8 rows of 128
+  rays against a C-triangle chunk held in VMEM, unrolled over rows. The
+  chunk axis is the inner (sequential) dimension so the best-hit output
+  block stays resident in VMEM and is folded across chunks.
+* **Reduction**: per-row min + first-index argmin over the sublane axis,
+  folded into running (best_t, best_idx) with earlier-chunk-wins ties —
+  bit-identical hit selection to the jnp path.
+
+Everything is fused in one kernel: no [N, C] intermediate ever touches HBM
+(the XLA fallback spills ~0.5 GB per bounce at 512x512).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 3.0e38  # python float: jnp scalars would be captured consts in the kernel
+
+_LANES = 128
+_RB = 8  # ray rows (of 128 lanes) per grid step
+
+
+def _kernel(ray_ref, tri_ref, best_t_ref, best_i_ref, *, chunk, rows):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_t_ref[:] = jnp.full_like(best_t_ref, BIG)
+        best_i_ref[:] = jnp.zeros_like(best_i_ref)
+
+    # per-triangle columns, [C, 1]
+    nx, ny, nz = (tri_ref[:, 0:1], tri_ref[:, 1:2], tri_ref[:, 2:3])
+    k1x, k1y, k1z = (tri_ref[:, 3:4], tri_ref[:, 4:5], tri_ref[:, 5:6])
+    k2x, k2y, k2z = (tri_ref[:, 6:7], tri_ref[:, 7:8], tri_ref[:, 8:9])
+    k3x, k3y, k3z = (tri_ref[:, 9:10], tri_ref[:, 10:11], tri_ref[:, 11:12])
+    c0, c1 = tri_ref[:, 12:13], tri_ref[:, 13:14]
+    c2, c3 = tri_ref[:, 14:15], tri_ref[:, 15:16]
+
+    tri_base = (j * chunk).astype(jnp.int32)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, _LANES), 0)
+
+    for r in range(rows):
+        rox = ray_ref[0, r:r + 1, :]
+        roy = ray_ref[1, r:r + 1, :]
+        roz = ray_ref[2, r:r + 1, :]
+        rdx = ray_ref[3, r:r + 1, :]
+        rdy = ray_ref[4, r:r + 1, :]
+        rdz = ray_ref[5, r:r + 1, :]
+
+        denom = rdx * nx + rdy * ny + rdz * nz          # [C, 128]
+        ro_n = rox * nx + roy * ny + roz * nz
+        safe = jnp.where(denom == 0.0, 1.0, denom)
+        t = (c0 - ro_n) / safe
+
+        s1 = (rox * k1x + roy * k1y + roz * k1z
+              + t * (rdx * k1x + rdy * k1y + rdz * k1z) - c1)
+        s2 = (rox * k2x + roy * k2y + roz * k2z
+              + t * (rdx * k2x + rdy * k2y + rdz * k2z) - c2)
+        s3 = (rox * k3x + roy * k3y + roz * k3z
+              + t * (rdx * k3x + rdy * k3y + rdz * k3z) - c3)
+
+        valid = ((denom != 0.0) & (t >= 0.0)
+                 & (s1 >= 0.0) & (s2 >= 0.0) & (s3 >= 0.0))
+        tt = jnp.where(valid, t, BIG)
+
+        tmin = jnp.min(tt, axis=0, keepdims=True)        # [1, 128]
+        # first-index argmin over the sublane (triangle) axis
+        cand = jnp.where(tt == tmin, lane_iota, chunk)
+        amin = jnp.min(cand, axis=0, keepdims=True).astype(jnp.int32)
+
+        cur_t = best_t_ref[r:r + 1, :]
+        better = (tmin < cur_t) & (tmin < BIG)
+        best_t_ref[r:r + 1, :] = jnp.where(better, tmin, cur_t)
+        best_i_ref[r:r + 1, :] = jnp.where(
+            better, tri_base + amin, best_i_ref[r:r + 1, :])
+
+
+def intersect_dense_pallas(ro, rd, tri_pack, chunk: int = 512):
+    """Closest hit over all triangles (Pallas TPU path), [N, 3] interface."""
+    return intersect_dense_pallas_soa(ro[:, 0], ro[:, 1], ro[:, 2],
+                                      rd[:, 0], rd[:, 1], rd[:, 2],
+                                      tri_pack, chunk=chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def intersect_dense_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
+                               chunk: int = 512):
+    """Closest hit over all triangles (Pallas TPU path).
+
+    Args:
+      rox..rdz: [N] ray component planes.
+      tri_pack: [T, 16] packed table (see module docstring; zero rows miss).
+      chunk: triangles per VMEM chunk (rounded to sublane multiple of 8).
+
+    Returns (hit [N] bool, t [N], idx [N] int32).
+    """
+    n = rox.shape[0]
+    t_count = tri_pack.shape[0]
+
+    block = _RB * _LANES
+    pad_n = (-n) % block
+    comps = (rox, roy, roz, rdx, rdy, rdz)
+    if pad_n:
+        zeros = jnp.zeros((pad_n,), rox.dtype)
+        comps = tuple(jnp.concatenate([c, zeros]) for c in comps)
+    n_pad = n + pad_n
+    rows_total = n_pad // _LANES
+
+    # [6, rows, 128] ray-component planes
+    rays = jnp.stack(comps).reshape(6, rows_total, _LANES)
+
+    c = min(chunk, max(8, ((t_count + 7) // 8) * 8))
+    pad_t = (-t_count) % c
+    if pad_t:
+        tri_pack = jnp.concatenate(
+            [tri_pack, jnp.zeros((pad_t, 16), tri_pack.dtype)])
+    n_chunks = (t_count + pad_t) // c
+
+    grid = (rows_total // _RB, n_chunks)
+    best_t, best_i = pl.pallas_call(
+        functools.partial(_kernel, chunk=c, rows=_RB),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((6, _RB, _LANES), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 16), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_RB, _LANES), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_RB, _LANES), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows_total, _LANES), jnp.int32),
+        ],
+    )(rays, tri_pack)
+
+    best_t = best_t.reshape(n_pad)[:n]
+    best_i = best_i.reshape(n_pad)[:n]
+    return best_t < BIG, best_t, best_i
+
+
+def pack_tri16(tri_n, tri_k1, tri_k2, tri_k3, tri_consts):
+    """[T, 16] packed table from the SceneData intersect arrays."""
+    return jnp.concatenate(
+        [tri_n, tri_k1, tri_k2, tri_k3, tri_consts], axis=1)

@@ -28,6 +28,7 @@ per-wavelength ``Wave`` loops become one vectorised VPU op.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # Constants exactly as written in the reference source (pathtracer.cpp:362-364).
 _C = 299792458.0
@@ -56,6 +57,31 @@ def planck_bbp(temperature_k, wavenumbers):
     x = 100.0 * _H * _C * v / _K / jnp.where(t > 0.0, t, 1.0)
     val = num / (jnp.exp(x) - 1.0)
     return jnp.where(t > 0.0, val, 0.0)
+
+
+def planck_bbp_np(temperature_k, wavenumbers) -> np.ndarray:
+    """Host (numpy) twin of ``planck_bbp`` for scene baking — keeps
+    scene compilation free of device round-trips."""
+    t = np.float32(temperature_k) if np.ndim(temperature_k) == 0 else \
+        np.asarray(temperature_k, np.float32)
+    t = np.asarray(t, np.float32)[..., None]
+    v = np.asarray(wavenumbers, np.float32)
+    num = np.float32(2e8 * (_H * _C * _C)) * v * v * v
+    x = np.float32(100.0 * _H * _C) * v / np.float32(_K) / np.where(t > 0, t, 1)
+    val = num / (np.exp(x) - 1.0)
+    return np.where(t > 0.0, val, 0.0).astype(np.float32)
+
+
+def bake_emissivity_np(eps_curve, temperature_c, wavenumbers) -> np.ndarray:
+    bbp = planck_bbp_np(np.float32(temperature_c) + np.float32(CELSIUS_OFFSET),
+                        wavenumbers)
+    return (bbp * np.asarray(eps_curve, np.float32)).astype(np.float32)
+
+
+def bake_reflectivity_np(eps_curve, temperature_c, wavenumbers) -> np.ndarray:
+    bbp = planck_bbp_np(np.float32(temperature_c) + np.float32(CELSIUS_OFFSET),
+                        wavenumbers)
+    return (bbp * (1.0 - np.asarray(eps_curve, np.float32))).astype(np.float32)
 
 
 def bake_emissivity(eps_curve, temperature_c, wavenumbers):

@@ -45,6 +45,101 @@ class BounceSample(NamedTuple):
     new_inside: jnp.ndarray     # [N] bool
 
 
+class BounceSampleSoA(NamedTuple):
+    dx: jnp.ndarray             # [N]
+    dy: jnp.ndarray
+    dz: jnp.ndarray
+    refracted: jnp.ndarray      # [N] bool
+    new_inside: jnp.ndarray     # [N] bool
+
+
+def _norm3(x, y, z):
+    n = jnp.sqrt(x * x + y * y + z * z)
+    inv = jnp.where(n > 0, 1.0 / jnp.where(n > 0, n, 1.0), 0.0)
+    return x * inv, y * inv, z * inv
+
+
+def _cross3(ax, ay, az, bx, by, bz):
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def sample_bounce_soa(mat_type, rdx, rdy, rdz, nx, ny, nz, roughness,
+                      inside, u_rand, theta_rand, fresnel_rand,
+                      eta_inside=None, eta_outside=None) -> BounceSampleSoA:
+    """Component-wise (SoA) twin of ``sample_bounce``.
+
+    TPU rationale: [N, 3] vectors waste 125 of 128 lanes per op; as six [N]
+    planes every operation runs full-lane. Identical math, identical
+    reference quirks — see ``sample_bounce``.
+    """
+    ndot = rdx * nx + rdy * ny + rdz * nz
+    rx, ry, rz = rdx - 2.0 * ndot * nx, rdy - 2.0 * ndot * ny, rdz - 2.0 * ndot * nz
+
+    cos_a = jnp.cos(TWO_PI * theta_rand)
+    sin_a = jnp.sin(TWO_PI * theta_rand)
+
+    # --- DIFFUSE: frame around n (threshold EPS) -------------------------
+    x_small = jnp.abs(nx) < (1.0 - EPS)
+    #   cross((1,0,0), n) = (0, -nz, ny); cross((1,1,1), n) = (nz-ny, nx-nz, ny-nx)
+    ux = jnp.where(x_small, 0.0, nz - ny)
+    uy = jnp.where(x_small, -nz, nx - nz)
+    uz = jnp.where(x_small, ny, ny - nx)
+    ux, uy, uz = _norm3(ux, uy, uz)
+    vx, vy, vz = _cross3(ux, uy, uz, nx, ny, nz)
+    vx, vy, vz = _norm3(vx, vy, vz)
+    w = u_rand
+    wz = jnp.sqrt(jnp.maximum(1.0 - w * w, 0.0))
+    ddx = w * cos_a * ux + w * sin_a * vx + wz * nx
+    ddy = w * cos_a * uy + w * sin_a * vy + wz * ny
+    ddz = w * cos_a * uz + w * sin_a * vz + wz * nz
+    ddx, ddy, ddz = _norm3(ddx, ddy, ddz)
+
+    # --- GLOSSY: frame around r (threshold FLT_EPSILON, v not normalised) --
+    gx_small = jnp.abs(rx) < (1.0 - FLT_EPSILON)
+    gux = jnp.where(gx_small, 0.0, rz - ry)
+    guy = jnp.where(gx_small, -rz, rx - rz)
+    guz = jnp.where(gx_small, ry, ry - rx)
+    gux, guy, guz = _norm3(gux, guy, guz)
+    gvx, gvy, gvz = _cross3(gux, guy, guz, rx, ry, rz)
+    wg = u_rand * roughness
+    wgz = jnp.sqrt(jnp.maximum(1.0 - wg * wg, 0.0))
+    gdx = wg * cos_a * gux + wg * sin_a * gvx + wgz * rx
+    gdy = wg * cos_a * guy + wg * sin_a * gvy + wgz * ry
+    gdz = wg * cos_a * guz + wg * sin_a * gvz + wgz * rz
+
+    # --- GLASS ------------------------------------------------------------
+    nc, ng = 1.0, 1.5
+    eta_in = eta_inside if eta_inside is not None else jnp.float32(ng / nc)
+    eta_out = eta_outside if eta_outside is not None else jnp.float32(nc / ng)
+    eta = jnp.where(inside, eta_in, eta_out)
+    r0 = ((nc - ng) / (nc + ng)) ** 2
+    c = jnp.abs(ndot)
+    k = 1.0 - eta * eta * (1.0 - c * c)
+    re = r0 + (1.0 - r0) * (1.0 - c) ** 2  # Schlick power 2 (reference parity)
+    reflect_glass = (k < 0.0) | (fresnel_rand < re)
+    coef = eta * ndot + jnp.sqrt(jnp.maximum(k, 0.0))
+    tx, ty, tz = _norm3(eta * rdx - coef * nx, eta * rdy - coef * ny,
+                        eta * rdz - coef * nz)
+    glx = jnp.where(reflect_glass, rx, tx)
+    gly = jnp.where(reflect_glass, ry, ty)
+    glz = jnp.where(reflect_glass, rz, tz)
+
+    # --- select by material type ------------------------------------------
+    is_spec = mat_type == 1
+    is_diff = mat_type == 0
+    is_glos = mat_type == 2
+    is_glass = mat_type == 3
+    dx = jnp.where(is_spec, rx, jnp.where(is_diff, ddx,
+                   jnp.where(is_glos, gdx, glx)))
+    dy = jnp.where(is_spec, ry, jnp.where(is_diff, ddy,
+                   jnp.where(is_glos, gdy, gly)))
+    dz = jnp.where(is_spec, rz, jnp.where(is_diff, ddz,
+                   jnp.where(is_glos, gdz, glz)))
+    refracted = is_glass & ~reflect_glass
+    new_inside = jnp.where(refracted, ~inside, inside)
+    return BounceSampleSoA(dx, dy, dz, refracted, new_inside)
+
+
 def _frame_u(axis, threshold):
     """u = |axis.x| < 1-threshold ? cross((1,0,0),axis) : cross((1,1,1),axis)."""
     x_small = jnp.abs(axis[..., 0]) < (1.0 - threshold)

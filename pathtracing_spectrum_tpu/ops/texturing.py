@@ -29,13 +29,13 @@ def build_texture_table(images: List[np.ndarray], channels: int
 
     Returns:
       (table, sizes): table [K, Hmax, Wmax(, C)] and sizes [K, 2] = (w, h).
-      With no images, returns a [1, 1, 1(, C)] zero table and size (1, 1) so
-      shapes stay static.
+      With no images, returns a zero-length table ([0, 1, 1(, C)]) — its
+      static shape lets jitted code skip sampling entirely.
     """
     shape_tail = (channels,) if channels else ()
     if not images:
-        return (np.zeros((1, 1, 1) + shape_tail, np.float32),
-                np.ones((1, 2), np.int32))
+        return (np.zeros((0, 1, 1) + shape_tail, np.float32),
+                np.zeros((0, 2), np.int32))
     hm = max(im.shape[0] for im in images)
     wm = max(im.shape[1] for im in images)
     table = np.zeros((len(images), hm, wm) + shape_tail, np.float32)

@@ -1,0 +1,139 @@
+"""Pixel-tile sharding and spp-allreduce across a device mesh.
+
+Two complementary multi-chip strategies (SURVEY §2.3, BASELINE config 5):
+
+* ``TileSharding`` — the image's flat pixel axis is sharded across chips;
+  every chip traces its own tile and accumulates locally. Zero inter-chip
+  traffic during rendering; one all-gather at framebuffer readback (jax
+  performs it when the sharded array is fetched). This is the scaling path
+  for large resolutions (4K tiled render).
+
+* ``SppAllreduce`` — every chip renders the FULL image with a
+  device-distinct RNG stream; per-sample radiance is ``psum``'d over ICI
+  inside ``shard_map`` so one step adds ``n_devices`` samples. This is the
+  scaling path for convergence (high spp at modest resolution).
+
+Both paths run the identical single-chip engine inside the sharded region —
+the same code executes on a CPU test mesh and a TPU pod slice.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..engine import trace_radiance, render_sample as _render_sample_1chip
+from .mesh import TILE_AXIS, make_mesh, replicated, tile_sharded
+
+
+class TileSharding:
+    """Shard the flat pixel axis over a 1-D mesh."""
+
+    def __init__(self, mesh: Optional[Mesh] = None):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = self.mesh.size
+        self._true_n = None
+
+    def _pad(self, a):
+        n = a.shape[0]
+        pad = (-n) % self.n_devices
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+        return a
+
+    def shard_rays(self, ro, rd):
+        self._true_n = ro.shape[0]
+        sh = tile_sharded(self.mesh)
+        return (jax.device_put(self._pad(ro), sh),
+                jax.device_put(self._pad(rd), sh))
+
+    def shard_scene(self, scene_data):
+        return jax.device_put(scene_data, replicated(self.mesh))
+
+    def zeros_accumulator(self, n, nw):
+        pad_n = n + ((-n) % self.n_devices)
+        return jax.device_put(jnp.zeros((pad_n, nw), jnp.float32),
+                              tile_sharded(self.mesh))
+
+    def shard_accumulator(self, total):
+        return jax.device_put(self._pad(total), tile_sharded(self.mesh))
+
+    def render_sample(self, scene_data, ro, rd, total, samples, key,
+                      max_depth, backend="dense"):
+        """Same signature as engine.render_sample; inputs already sharded.
+
+        The computation is embarrassingly parallel over pixels, so jit +
+        input shardings partition it with no collectives; XLA all-gathers
+        only at host readback.
+        """
+        scene_data = self.shard_scene(scene_data)
+        return _render_sample_1chip(scene_data, ro, rd, total, samples, key,
+                                    max_depth=max_depth, backend=backend)
+
+    def gather(self, out):
+        arr = np.asarray(out)
+        if self._true_n is not None:
+            arr = arr[:self._true_n]
+        return arr
+
+
+class SppAllreduce:
+    """Each device renders the full image; radiance psum'd over ICI."""
+
+    def __init__(self, mesh: Optional[Mesh] = None):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = self.mesh.size
+
+    def shard_rays(self, ro, rd):
+        sh = replicated(self.mesh)
+        return jax.device_put(ro, sh), jax.device_put(rd, sh)
+
+    def zeros_accumulator(self, n, nw):
+        return jax.device_put(jnp.zeros((n, nw), jnp.float32),
+                              replicated(self.mesh))
+
+    def shard_accumulator(self, total):
+        return jax.device_put(total, replicated(self.mesh))
+
+    def gather(self, out):
+        return np.asarray(out)
+
+    def render_sample(self, scene_data, ro, rd, total, samples, key,
+                      max_depth, backend="dense"):
+        """One step = n_devices samples, combined with a psum over ICI."""
+        scene_data = jax.device_put(scene_data, replicated(self.mesh))
+        return _spp_allreduce_step(self.mesh, scene_data, ro, rd, total,
+                                   samples, key, max_depth, backend)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "max_depth", "backend"))
+def _spp_allreduce_step(mesh, scene_data, ro, rd, total, samples, key,
+                        max_depth, backend):
+    def device_fn(scene, o, d, k):
+        dev = jax.lax.axis_index(TILE_AXIS)
+        k = jax.random.fold_in(k, dev)
+        res = trace_radiance(scene, o, d, k, max_depth, backend)
+        # spp-allreduce: sum the per-device samples over the ICI ring
+        rad = jax.lax.psum(res.radiance, TILE_AXIS)
+        nrays = jax.lax.psum(res.rays_traced, TILE_AXIS)
+        return rad, nrays
+
+    rep_scene = jax.tree.map(lambda _: P(), scene_data)
+    rad, nrays = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(rep_scene, P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(scene_data, ro, rd, key)
+
+    total = total + rad
+    samples = samples + mesh.size
+    out = total / samples.astype(jnp.float32)
+    return total, samples, out, nrays

@@ -1,0 +1,298 @@
+"""Progressive render session: the host-side state machine.
+
+Replaces the reference's two-thread flag machine (``render/pause/stop/
+restart/init`` globals at main.cpp:88-99 driving ``PathTracerLoop`` at
+main.cpp:4003-4063, with unsynchronised shared state) with an explicit
+single-owner controller:
+
+* ``start()``   — (re)compiles the scene if dirty, resets accumulators when
+  coming from STOPPED/IDLE (the reference re-syncs the whole scene and calls
+  ``ResetImage`` on start/restart/stop, main.cpp:4010-4027);
+* ``pause()``/``resume()`` — keep the accumulator (main.cpp:4034-4039);
+* ``stop()``    — next start resets (pathtracer.cpp:547-556 lazy reset);
+* ``restart()`` — immediate reset, keep rendering;
+* ``step(n)``   — render n progressive samples (one sample = one
+  ``RenderFrame`` call in the reference);
+* ``run(target_spp)`` — render until the target and auto-pause
+  (main.cpp:4057-4061; target range 0..65535, main.cpp:1662-1669);
+* ``start_async()`` — optional background thread mirroring the reference's
+  GUI-thread/tracer-thread split, but with proper events instead of races.
+
+Observability (SURVEY §5): per-session stats — samples, elapsed wall-clock,
+average seconds/sample, rays traced, Mrays/s — matching the reference's
+status bar (main.cpp:2780-2810) plus throughput metrics it never recorded.
+
+Checkpoint/resume (SURVEY §5): the reference loses the accumulator on exit;
+``save_checkpoint``/``load_checkpoint`` persist (total, samples, RNG counter)
+for exact resume.
+"""
+
+from __future__ import annotations
+
+import enum
+import threading
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine import render_sample
+from .models.camera import camera_rays
+from .scene import Scene, SceneData
+
+MAX_TARGET_SPP = 65535  # reference GUI clamp (main.cpp:1662-1669)
+
+
+class RenderStatus(enum.Enum):
+    IDLE = "idle"
+    RENDERING = "rendering"
+    PAUSED = "paused"
+    STOPPED = "stopped"
+
+
+class RenderSession:
+    """Owns the progressive accumulator for one scene + camera."""
+
+    def __init__(self, scene: Scene, backend: str = "dense",
+                 jitter: bool = False, seed: int = 0,
+                 auto_backend_threshold: int = 4096,
+                 resolution: Optional[tuple] = None,
+                 sharding=None):
+        self.scene = scene
+        self.jitter = jitter
+        self.seed = seed
+        self._backend = backend
+        self._auto_threshold = auto_backend_threshold
+        self._resolution_override = resolution
+        self._sharding = sharding  # optional parallel.TileSharding
+
+        self.status = RenderStatus.IDLE
+        self.target_spp: int = 0  # 0 = unbounded (reference semantics)
+
+        self._scene_data: Optional[SceneData] = None
+        self._dirty = True
+        self._total = None
+        self._samples = None
+        self._out = None
+        self._ro = None
+        self._rd = None
+        self._key = jax.random.key(seed)
+        self._sample_counter = 0  # fold_in counter for reproducible resume
+
+        # stats
+        self.elapsed = 0.0
+        self._t_start = None
+        self.rays_traced = 0
+        self.last_sample_time = 0.0
+
+        self._thread: Optional[threading.Thread] = None
+        self._pause_evt = threading.Event()
+        self._stop_evt = threading.Event()
+        self._lock = threading.Lock()
+
+    # -- scene/camera sync ---------------------------------------------------
+    def mark_dirty(self) -> None:
+        """Scene or camera changed: re-sync on next start (the reference
+        re-syncs unconditionally on every start/restart/stop edge)."""
+        self._dirty = True
+
+    @property
+    def resolution(self):
+        return self._resolution_override or self.scene.resolution
+
+    @property
+    def backend(self) -> str:
+        if self._backend != "auto":
+            return self._backend
+        if self._scene_data is None:
+            return "dense"
+        return ("dense" if self._scene_data.n_triangles <= self._auto_threshold
+                else "bvh")
+
+    def _sync(self) -> None:
+        self._scene_data = self.scene.compile()
+        w, h = self.resolution
+        cam = self.scene.camera()
+        self._ro, self._rd = camera_rays(cam, w, h)
+        if self._sharding is not None:
+            self._ro, self._rd = self._sharding.shard_rays(self._ro, self._rd)
+        self._dirty = False
+        self._reset_accumulator()
+
+    def _reset_accumulator(self) -> None:
+        w, h = self.resolution
+        n = w * h
+        nw = len(self.scene.wavelengths)
+        if self._sharding is not None:
+            self._total = self._sharding.zeros_accumulator(n, nw)
+        else:
+            self._total = jnp.zeros((n, nw), jnp.float32)
+        self._samples = jnp.zeros((), jnp.int32)
+        self._out = self._total
+        self._sample_counter = 0
+        self.elapsed = 0.0
+        self.rays_traced = 0
+
+    # -- state machine --------------------------------------------------------
+    def start(self) -> None:
+        if self.status == RenderStatus.PAUSED and not self._dirty:
+            self.status = RenderStatus.RENDERING
+            return
+        if self._dirty or self.status in (RenderStatus.STOPPED,
+                                          RenderStatus.IDLE):
+            self._sync()
+        self.status = RenderStatus.RENDERING
+
+    def pause(self) -> None:
+        if self.status == RenderStatus.RENDERING:
+            self.status = RenderStatus.PAUSED
+
+    def resume(self) -> None:
+        if self.status == RenderStatus.PAUSED:
+            self.status = RenderStatus.RENDERING
+
+    def stop(self) -> None:
+        self.status = RenderStatus.STOPPED
+        self._stop_evt.set()
+
+    def restart(self) -> None:
+        if self._dirty:
+            self._sync()
+        else:
+            self._reset_accumulator()
+        self.status = RenderStatus.RENDERING
+
+    # -- rendering -------------------------------------------------------------
+    def step(self, n_samples: int = 1) -> np.ndarray:
+        """Render n progressive samples synchronously; returns the running
+        mean as [H, W, nw]."""
+        if self.status != RenderStatus.RENDERING:
+            self.start()
+        t0 = time.monotonic()
+        for _ in range(n_samples):
+            key = jax.random.fold_in(self._key, self._sample_counter)
+            if self.jitter:
+                w, h = self.resolution
+                cam_key = jax.random.fold_in(key, 0xC0FFEE)
+                ro, rd = camera_rays(self.scene.camera(), w, h,
+                                     key=cam_key, jitter=True)
+                if self._sharding is not None:
+                    ro, rd = self._sharding.shard_rays(ro, rd)
+            else:
+                ro, rd = self._ro, self._rd
+            step_fn = (self._sharding.render_sample if self._sharding
+                       else render_sample)
+            self._total, self._samples, self._out, nrays = step_fn(
+                self._scene_data, ro, rd, self._total, self._samples, key,
+                max_depth=self.scene.trace_depth, backend=self.backend)
+            self._sample_counter += 1
+            self.rays_traced += int(nrays)
+        jax.block_until_ready(self._out)
+        dt = time.monotonic() - t0
+        self.elapsed += dt
+        self.last_sample_time = dt / max(n_samples, 1)
+        return self.result()
+
+    def run(self, target_spp: Optional[int] = None) -> np.ndarray:
+        """Render until target spp, then auto-pause (main.cpp:4057-4061)."""
+        target = min(target_spp if target_spp is not None else self.target_spp,
+                     MAX_TARGET_SPP)
+        self.start()
+        while (self.status == RenderStatus.RENDERING
+               and (target == 0 or self.samples < target)):
+            self.step(1)
+            if target and self.samples >= target:
+                self.pause()
+        return self.result()
+
+    # -- async loop (the reference's tracer-thread analogue) -------------------
+    def start_async(self, target_spp: Optional[int] = None) -> None:
+        if self._thread is not None and self._thread.is_alive():
+            return
+        self._stop_evt.clear()
+        target = min(target_spp if target_spp is not None else self.target_spp,
+                     MAX_TARGET_SPP)
+
+        def loop():
+            self.start()
+            while not self._stop_evt.is_set():
+                if self.status != RenderStatus.RENDERING:
+                    time.sleep(0.01)
+                    continue
+                with self._lock:
+                    self.step(1)
+                if target and self.samples >= target:
+                    self.pause()
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def join(self, timeout: Optional[float] = None) -> None:
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+    # -- results & stats --------------------------------------------------------
+    @property
+    def samples(self) -> int:
+        return int(self._samples) if self._samples is not None else 0
+
+    def result(self) -> np.ndarray:
+        """Running mean as [H, W, nw] (row 0 = image top)."""
+        w, h = self.resolution
+        nw = len(self.scene.wavelengths)
+        if self._out is None:
+            return np.zeros((h, w, nw), np.float32)
+        out = self._out
+        if self._sharding is not None:
+            out = self._sharding.gather(out)
+        return np.asarray(out).reshape(h, w, nw)
+
+    def stats(self) -> dict:
+        s = self.samples
+        return {
+            "status": self.status.value,
+            "samples": s,
+            "elapsed_s": self.elapsed,
+            "avg_time_per_sample_s": self.elapsed / s if s else 0.0,
+            "rays_traced": self.rays_traced,
+            "mrays_per_s": (self.rays_traced / self.elapsed / 1e6
+                            if self.elapsed > 0 else 0.0),
+            "triangles": (self._scene_data.n_triangles
+                          if self._scene_data is not None else 0),
+            "backend": self.backend,
+        }
+
+    # -- checkpoint/resume --------------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        """Persist accumulator state for exact resume (the reference cannot:
+        pause keeps it in RAM only, stop discards — SURVEY §5)."""
+        np.savez(path,
+                 total=np.asarray(self._sharding.gather(self._total)
+                                  if self._sharding else self._total),
+                 samples=np.asarray(self._samples),
+                 sample_counter=self._sample_counter,
+                 seed=self.seed,
+                 resolution=np.asarray(self.resolution),
+                 n_waves=len(self.scene.wavelengths))
+
+    def load_checkpoint(self, path: str) -> None:
+        data = np.load(path)
+        if tuple(data["resolution"]) != tuple(self.resolution):
+            raise ValueError("checkpoint resolution mismatch")
+        if int(data["n_waves"]) != len(self.scene.wavelengths):
+            raise ValueError("checkpoint wavelength-count mismatch")
+        if self._dirty:
+            self._sync()
+        total = jnp.asarray(data["total"])
+        if self._sharding is not None:
+            total = self._sharding.shard_accumulator(total)
+        self._total = total
+        self._samples = jnp.asarray(data["samples"])
+        self._out = self._total / jnp.maximum(
+            self._samples.astype(jnp.float32), 1.0)
+        self._sample_counter = int(data["sample_counter"])
+        self.seed = int(data["seed"])
+        self._key = jax.random.key(self.seed)
+        self.status = RenderStatus.PAUSED

@@ -58,6 +58,15 @@ class SceneData(NamedTuple):
     tri_smoothing: jnp.ndarray   # [T] bool
     tri_material: jnp.ndarray    # [T] int32
 
+    # intersection precompute (ops/intersect.py matmul form)
+    tri_k1: jnp.ndarray          # [T, 3]
+    tri_k2: jnp.ndarray          # [T, 3]
+    tri_k3: jnp.ndarray          # [T, 3]
+    tri_consts: jnp.ndarray      # [T, 4] (v1.n, v2.K1, v1.K2, v1.K3)
+
+    # packed per-triangle shading table (ops/shade_pack.py)
+    tri_shade: jnp.ndarray       # [T, BASE + 3*nw]
+
     # materials [M, ...]
     mat_type: jnp.ndarray        # [M] int32
     mat_rr_prob: jnp.ndarray     # [M] min(0.95, max(baseColor))
@@ -143,15 +152,27 @@ class SceneObject:
             transforms.normalize_rotation(tuple(np.asarray(v, np.float64))),
             np.float32)
 
-    def set_scale(self, v) -> None:
-        """Clamped at 0.001; uniform when scale-locked (previewer.cpp:669-705)."""
-        v = np.maximum(np.asarray(v, np.float32), 0.001)
-        if self.is_scale_locked:
-            changed = np.nonzero(v != self._scale)[0]
-            if changed.size:
-                ratio = v[changed[0]] / max(self._scale[changed[0]], 1e-30)
-                v = np.maximum(self._scale * ratio, 0.001)
-        self._scale = v
+    def set_scale(self, v, respect_lock: bool = True) -> None:
+        """Clamped at 0.001; uniform-cascade when scale-locked, using the
+        reference's exact first-changed-axis rule (previewer.cpp:669-705).
+
+        ``respect_lock=False`` bypasses the lock — used by the scene loader,
+        where the reference would otherwise mangle saved non-uniform scales
+        (the lock flag is not persisted in .pts; parity bug not reproduced).
+        """
+        x, y, z = (max(float(c), 0.001) for c in v)
+        if respect_lock and self.is_scale_locked:
+            ox, oy, oz = (float(c) for c in self._scale)
+            if ox != x:
+                y = oy + oy / ox * (x - ox)
+                z = oz + oz / ox * (x - ox)
+            elif oy != y:
+                x = ox + ox / oy * (y - oy)
+                z = oz + oz / oy * (y - oy)
+            elif oz != z:
+                x = ox + ox / oz * (z - oz)
+                y = oy + oy / oz * (z - oz)
+        self._scale = np.asarray([x, y, z], np.float32)
 
     def model_matrix(self) -> np.ndarray:
         return transforms.model_matrix(self._location, self._rotation,
@@ -298,8 +319,8 @@ class Scene:
             curve[:min(nw, len(src))] = np.asarray(src[:nw], np.float32)
             eps_curve[i] = curve
             t = mt.clamped_temperature()
-            emis[i] = np.asarray(planck.bake_emissivity(curve, t, wavenumbers))
-            refl[i] = np.asarray(planck.bake_reflectivity(curve, t, wavenumbers))
+            emis[i] = planck.bake_emissivity_np(curve, t, wavenumbers)
+            refl[i] = planck.bake_reflectivity_np(curve, t, wavenumbers)
 
         # ---- textures & temperature grids ----
         tex_images: List[np.ndarray] = []
@@ -381,11 +402,22 @@ class Scene:
             curve = np.zeros(nw, np.float32)
             src = self.spectrum_materials[self.sky_material_id].emissivity
             curve[:min(nw, len(src))] = np.asarray(src[:nw], np.float32)
-            sky = np.asarray(planck.bake_emissivity(
-                curve, self.sky_temperature, wavenumbers))
+            sky = planck.bake_emissivity_np(curve, self.sky_temperature,
+                                            wavenumbers)
 
-        dev = jnp.asarray
-        return SceneData(
+        # Intersection precompute (ops/intersect.py): per-triangle constant
+        # vectors that turn the same-side tests into matmul-able dots.
+        from .ops.intersect import precompute_intersect_tables
+        k1, k2, k3, consts = precompute_intersect_tables(
+            soa.v1, soa.e1, soa.e2, soa.face_n)
+
+        from .ops.shade_pack import pack_shade_table
+        tri_shade = pack_shade_table(soa, mat_type, mat_rr, mat_rough,
+                                     mat_ntex, mat_rtex, mat_grid,
+                                     emis, refl, eps_curve)
+
+        dev = np.asarray
+        data = SceneData(
             tri_v1=dev(soa.v1), tri_e1=dev(soa.e1), tri_e2=dev(soa.e2),
             tri_n1=dev(soa.n1), tri_n2=dev(soa.n2), tri_n3=dev(soa.n3),
             tri_uv1=dev(soa.uv1), tri_uv2=dev(soa.uv2), tri_uv3=dev(soa.uv3),
@@ -395,6 +427,8 @@ class Scene:
             tri_inv_denom=dev(soa.inv_denom),
             tri_smoothing=dev(soa.smoothing),
             tri_material=dev(soa.material_id),
+            tri_k1=dev(k1), tri_k2=dev(k2), tri_k3=dev(k3),
+            tri_consts=dev(consts), tri_shade=dev(tri_shade),
             mat_type=dev(mat_type), mat_rr_prob=dev(mat_rr),
             mat_roughness=dev(mat_rough),
             mat_emissivity=dev(emis), mat_reflectivity=dev(refl),
@@ -408,6 +442,10 @@ class Scene:
             bvh_node_skip=dev(node_skip), bvh_node_first=dev(node_first),
             bvh_node_count=dev(node_count),
         )
+        # Single host->device upload; keeping the whole build in numpy avoids
+        # per-op eager dispatches (very slow on a tunneled TPU).
+        import jax
+        return jax.device_put(data)
 
 
 def _degenerate_tri_soa() -> TriangleSoA:

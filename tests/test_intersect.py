@@ -3,7 +3,8 @@
 import numpy as np
 import jax.numpy as jnp
 
-from pathtracing_spectrum_tpu.ops.intersect import intersect_bruteforce
+from pathtracing_spectrum_tpu.ops.intersect import (
+    intersect_bruteforce, precompute_intersect_tables)
 from pathtracing_spectrum_tpu.ops.bvh import intersect_bvh
 
 import oracle
@@ -19,19 +20,23 @@ def random_rays(n, seed):
     return ro, rd
 
 
+def dense_args(scene):
+    return (scene.tri_face_n, scene.tri_k1, scene.tri_k2, scene.tri_k3,
+            scene.tri_consts)
+
+
 def test_dense_matches_oracle():
     scene = cornell_scene().compile(build_bvh=False)
     sc = oracle.OracleScene(scene)
     ro, rd = random_rays(64, 0)
     hit, t, idx = map(np.asarray, intersect_bruteforce(
-        jnp.asarray(ro), jnp.asarray(rd),
-        scene.tri_v1, scene.tri_e1, scene.tri_e2, scene.tri_face_n))
+        jnp.asarray(ro), jnp.asarray(rd), *dense_args(scene)))
     for k in range(ro.shape[0]):
         oi, ot = oracle._closest_hit(sc, ro[k].astype(np.float64),
                                      rd[k].astype(np.float64))
         assert hit[k] == (oi >= 0), k
         if oi >= 0:
-            assert t[k] == np.float32(ot) or abs(t[k] - ot) < 1e-3, k
+            assert abs(t[k] - ot) < 1e-3, k
             assert idx[k] == oi, k
 
 
@@ -39,14 +44,15 @@ def test_bvh_matches_dense():
     scene = cornell_scene().compile(build_bvh=True, leaf_size=4)
     ro, rd = random_rays(256, 1)
     ro, rd = jnp.asarray(ro), jnp.asarray(rd)
-    args = (scene.tri_v1, scene.tri_e1, scene.tri_e2, scene.tri_face_n)
-    h1, t1, i1 = map(np.asarray, intersect_bruteforce(ro, rd, *args))
+    h1, t1, i1 = map(np.asarray, intersect_bruteforce(
+        ro, rd, *dense_args(scene)))
     h2, t2, i2 = map(np.asarray, intersect_bvh(
-        ro, rd, *args, scene.bvh_node_min, scene.bvh_node_max,
+        ro, rd, scene.tri_v1, scene.tri_e1, scene.tri_e2, scene.tri_face_n,
+        scene.bvh_node_min, scene.bvh_node_max,
         scene.bvh_node_skip, scene.bvh_node_first, scene.bvh_node_count,
         leaf_size=4))
     np.testing.assert_array_equal(h1, h2)
-    np.testing.assert_allclose(t1[h1], t2[h1], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(t1[h1], t2[h1], rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(i1[h1], i2[h1])
 
 
@@ -69,8 +75,9 @@ def test_bvh_random_soup_matches_dense():
     from pathtracing_spectrum_tpu.ops.bvh import build_bvh
     flat = build_bvh(soa, leaf_size=4)
     order = flat.tri_order
-    bv1, be1, be2, bn = (jnp.asarray(v1[order]), jnp.asarray(e1[order]),
-                         jnp.asarray(e2[order]), jnp.asarray(n[order]))
+    bv1, be1, be2, bn = (v1[order], e1[order], e2[order],
+                         n[order].astype(np.float32))
+    k1, k2, k3, consts = precompute_intersect_tables(bv1, be1, be2, bn)
 
     nrays = 128
     ro = rng.uniform(-4, 4, (nrays, 3)).astype(np.float32)
@@ -78,11 +85,14 @@ def test_bvh_random_soup_matches_dense():
     rd /= np.linalg.norm(rd, axis=1, keepdims=True)
     ro, rd = jnp.asarray(ro), jnp.asarray(rd)
 
-    h1, t1, _ = map(np.asarray, intersect_bruteforce(ro, rd, bv1, be1, be2, bn))
+    h1, t1, _ = map(np.asarray, intersect_bruteforce(
+        ro, rd, jnp.asarray(bn), jnp.asarray(k1), jnp.asarray(k2),
+        jnp.asarray(k3), jnp.asarray(consts)))
     h2, t2, _ = map(np.asarray, intersect_bvh(
-        ro, rd, bv1, be1, be2, bn,
+        ro, rd, jnp.asarray(bv1), jnp.asarray(be1), jnp.asarray(be2),
+        jnp.asarray(bn),
         jnp.asarray(flat.node_min), jnp.asarray(flat.node_max),
         jnp.asarray(flat.node_skip), jnp.asarray(flat.node_first),
         jnp.asarray(flat.node_count), leaf_size=4))
     np.testing.assert_array_equal(h1, h2)
-    np.testing.assert_allclose(t1[h1], t2[h1], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(t1[h1], t2[h1], rtol=1e-3, atol=1e-4)

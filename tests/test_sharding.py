@@ -1,0 +1,87 @@
+"""Multi-chip paths on the virtual 8-device CPU mesh.
+
+Tile sharding must reproduce the single-chip image exactly; spp-allreduce
+must add n_devices samples per step with a psum over the mesh.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from pathtracing_spectrum_tpu import camera_rays
+from pathtracing_spectrum_tpu.engine import render_sample
+from pathtracing_spectrum_tpu.parallel.mesh import make_mesh
+from pathtracing_spectrum_tpu.parallel.tiling import SppAllreduce, TileSharding
+from pathtracing_spectrum_tpu.render import RenderSession
+
+from scene_helpers import cornell_scene
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devs[:8]
+
+
+def test_tile_sharding_matches_single_chip(eight_devices):
+    sc = cornell_scene(depth=2, res=(16, 12))
+    scene = sc.compile()
+    w, h = sc.resolution
+    ro, rd = camera_rays(sc.camera(), w, h)
+    key = jax.random.key(5)
+
+    # single chip
+    n = w * h
+    total = jnp.zeros((n, 4), jnp.float32)
+    samples = jnp.zeros((), jnp.int32)
+    t1, s1, out1, _ = render_sample(scene, ro, rd, total, samples, key,
+                                    max_depth=2, backend="dense")
+
+    # 8-way tile sharding
+    ts = TileSharding(make_mesh(eight_devices))
+    ro_s, rd_s = ts.shard_rays(ro, rd)
+    total_s = ts.zeros_accumulator(n, 4)
+    t2, s2, out2, _ = ts.render_sample(scene, ro_s, rd_s, total_s, samples,
+                                       key, max_depth=2, backend="dense")
+    np.testing.assert_allclose(np.asarray(out1), ts.gather(out2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_spp_allreduce_step(eight_devices):
+    sc = cornell_scene(depth=2, res=(8, 8))
+    scene = sc.compile()
+    w, h = sc.resolution
+    ro, rd = camera_rays(sc.camera(), w, h)
+    key = jax.random.key(5)
+    n = w * h
+
+    sa = SppAllreduce(make_mesh(eight_devices))
+    ro_s, rd_s = sa.shard_rays(ro, rd)
+    total = sa.zeros_accumulator(n, 4)
+    samples = jnp.zeros((), jnp.int32)
+    t, s, out, nrays = sa.render_sample(scene, ro_s, rd_s, total, samples,
+                                        key, max_depth=2, backend="dense")
+    assert int(s) == 8  # one step = n_devices samples
+
+    # equals the mean over the 8 per-device streams computed single-chip
+    acc = np.zeros((n, 4), np.float32)
+    from pathtracing_spectrum_tpu.engine import trace_radiance
+    for dev in range(8):
+        k = jax.random.fold_in(key, dev)
+        acc += np.asarray(trace_radiance(scene, ro, rd, k, 2,
+                                         backend="dense").radiance)
+    np.testing.assert_allclose(np.asarray(out), acc / 8.0,
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_session_with_tile_sharding(eight_devices):
+    sc = cornell_scene(depth=2, res=(8, 8))
+    base = RenderSession(sc, backend="dense", seed=1).run(target_spp=2)
+    sess = RenderSession(sc, backend="dense", seed=1,
+                         sharding=TileSharding(make_mesh(eight_devices)))
+    sharded = sess.run(target_spp=2)
+    np.testing.assert_allclose(base, sharded, rtol=1e-5, atol=1e-6)
