@@ -329,3 +329,31 @@ def render_sample(scene: SceneData, ro, rd, total, samples, key,
     samples = samples + 1
     out = total / samples.astype(jnp.float32)
     return total, samples, out, res.rays_traced
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps", "max_depth", "backend",
+                                    "leaf_size"),
+                   donate_argnums=(3,))
+def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
+                   counter0, n_steps: int, max_depth: int,
+                   backend: str = "auto", leaf_size: int = 4):
+    """``n_steps`` progressive samples in ONE dispatch.
+
+    Per-call launch latency on a tunneled/remote TPU can reach hundreds of
+    ms, so the per-sample loop lives inside the compiled program. Sample
+    ``i`` uses ``fold_in(base_key, counter0 + i)`` — the same key schedule
+    as repeated ``render_sample`` calls, so checkpoint-resume stays exact.
+
+    Returns (total', samples', out, rays_traced_total).
+    """
+    def body(i, carry):
+        total, samples, rays = carry
+        k = jax.random.fold_in(base_key, counter0 + i)
+        res = trace_radiance(scene, ro, rd, k, max_depth, backend, leaf_size)
+        return total + res.radiance, samples + 1, rays + res.rays_traced
+
+    total, samples, rays = jax.lax.fori_loop(
+        0, n_steps, body, (total, samples, jnp.zeros((), jnp.int32)))
+    out = total / samples.astype(jnp.float32)
+    return total, samples, out, rays

@@ -65,7 +65,7 @@ class TileSharding:
         return jax.device_put(self._pad(total), tile_sharded(self.mesh))
 
     def render_sample(self, scene_data, ro, rd, total, samples, key,
-                      max_depth, backend="dense"):
+                      max_depth, backend="auto"):
         """Same signature as engine.render_sample; inputs already sharded.
 
         The computation is embarrassingly parallel over pixels, so jit +
@@ -75,6 +75,15 @@ class TileSharding:
         scene_data = self.shard_scene(scene_data)
         return _render_sample_1chip(scene_data, ro, rd, total, samples, key,
                                     max_depth=max_depth, backend=backend)
+
+    def render_samples(self, scene_data, ro, rd, total, samples, base_key,
+                       counter0, n_steps, max_depth, backend="auto"):
+        """Batched multi-sample step (one dispatch), sharded over pixels."""
+        from ..engine import render_samples as _render_samples_1chip
+        scene_data = self.shard_scene(scene_data)
+        return _render_samples_1chip(scene_data, ro, rd, total, samples,
+                                     base_key, counter0, n_steps=n_steps,
+                                     max_depth=max_depth, backend=backend)
 
     def gather(self, out):
         arr = np.asarray(out)

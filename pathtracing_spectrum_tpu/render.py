@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .engine import render_sample
+from .engine import render_sample, render_samples
 from .models.camera import camera_rays
 from .scene import Scene, SceneData
 
@@ -171,24 +171,39 @@ class RenderSession:
         if self.status != RenderStatus.RENDERING:
             self.start()
         t0 = time.monotonic()
-        for _ in range(n_samples):
-            key = jax.random.fold_in(self._key, self._sample_counter)
-            if self.jitter:
-                w, h = self.resolution
-                cam_key = jax.random.fold_in(key, 0xC0FFEE)
-                ro, rd = camera_rays(self.scene.camera(), w, h,
-                                     key=cam_key, jitter=True)
-                if self._sharding is not None:
-                    ro, rd = self._sharding.shard_rays(ro, rd)
-            else:
-                ro, rd = self._ro, self._rd
-            step_fn = (self._sharding.render_sample if self._sharding
-                       else render_sample)
+        batched = (not self.jitter and (self._sharding is None or hasattr(
+            self._sharding, "render_samples")))
+        if batched and n_samples >= 1:
+            # one device dispatch for the whole batch (remote-TPU launch
+            # latency is the dominant cost of per-sample stepping)
+            step_fn = (self._sharding.render_samples if self._sharding
+                       else render_samples)
             self._total, self._samples, self._out, nrays = step_fn(
-                self._scene_data, ro, rd, self._total, self._samples, key,
-                max_depth=self.scene.trace_depth, backend=self.backend)
-            self._sample_counter += 1
+                self._scene_data, self._ro, self._rd, self._total,
+                self._samples, self._key, self._sample_counter,
+                n_steps=n_samples, max_depth=self.scene.trace_depth,
+                backend=self.backend)
+            self._sample_counter += n_samples
             self.rays_traced += int(nrays)
+        else:
+            for _ in range(n_samples):
+                key = jax.random.fold_in(self._key, self._sample_counter)
+                if self.jitter:
+                    w, h = self.resolution
+                    cam_key = jax.random.fold_in(key, 0xC0FFEE)
+                    ro, rd = camera_rays(self.scene.camera(), w, h,
+                                         key=cam_key, jitter=True)
+                    if self._sharding is not None:
+                        ro, rd = self._sharding.shard_rays(ro, rd)
+                else:
+                    ro, rd = self._ro, self._rd
+                step_fn = (self._sharding.render_sample if self._sharding
+                           else render_sample)
+                self._total, self._samples, self._out, nrays = step_fn(
+                    self._scene_data, ro, rd, self._total, self._samples, key,
+                    max_depth=self.scene.trace_depth, backend=self.backend)
+                self._sample_counter += 1
+                self.rays_traced += int(nrays)
         jax.block_until_ready(self._out)
         dt = time.monotonic() - t0
         self.elapsed += dt
