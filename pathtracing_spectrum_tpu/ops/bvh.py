@@ -44,7 +44,27 @@ class FlatBVH:
 
 
 def build_bvh(soa, leaf_size: int = 4) -> FlatBVH:
-    """Median-split build over centroids (host)."""
+    """Flat BVH build (host). Prefers the native binned-SAH builder
+    (native/src/pts_native.cpp); falls back to Python median-split."""
+    import os
+    if os.environ.get("PTS_NATIVE", "1") != "0" and soa.count > 0:
+        try:
+            from ..native import build_bvh_native
+            v1 = soa.v1.astype(np.float64)
+            v2 = v1 + soa.e1.astype(np.float64)
+            v3 = v1 + soa.e2.astype(np.float64)
+            tri_min = np.minimum(np.minimum(v1, v2), v3).astype(np.float32)
+            tri_max = np.maximum(np.maximum(v1, v2), v3).astype(np.float32)
+            flat = build_bvh_native(tri_min, tri_max, leaf_size)
+            if flat is not None:
+                return flat
+        except Exception:
+            pass
+    return build_bvh_median(soa, leaf_size)
+
+
+def build_bvh_median(soa, leaf_size: int = 4) -> FlatBVH:
+    """Median-split build over centroids (pure Python)."""
     t = soa.count
     v1 = soa.v1.astype(np.float64)
     v2 = v1 + soa.e1.astype(np.float64)

@@ -1,0 +1,107 @@
+"""CLI end-to-end (render/info/peek/new/import) and viewer conversion."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pathtracing_spectrum_tpu import cli, viewer
+from pathtracing_spectrum_tpu.utils import scene_io
+
+from scene_helpers import cornell_scene
+
+
+@pytest.fixture
+def scene_file(tmp_path):
+    sc = cornell_scene(depth=2, res=(16, 16))
+    p = str(tmp_path / "scene.pts")
+    scene_io.save_scene(sc, p)
+    return p
+
+
+def test_cli_render_export_png_checkpoint(tmp_path, scene_file, capsys):
+    out = str(tmp_path / "out.txt")
+    png = str(tmp_path / "img")
+    ck = str(tmp_path / "ck.npz")
+    rc = cli.main(["render", scene_file, "--spp", "3", "--out", out,
+                   "--png", png, "--checkpoint", ck, "--quiet",
+                   "--backend", "dense"])
+    assert rc == 0
+    assert os.path.exists(out)
+    assert os.path.exists(ck)
+    for k in range(4):
+        assert os.path.exists(f"{png}_ch{k}.png")
+    # export has nw * h lines
+    lines = open(out).read().splitlines()
+    assert len(lines) == 4 * 16
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["samples"] == 3
+
+
+def test_cli_resume(tmp_path, scene_file):
+    out1 = str(tmp_path / "a.txt")
+    ck = str(tmp_path / "ck.npz")
+    cli.main(["render", scene_file, "--spp", "2", "--out", out1,
+              "--checkpoint", ck, "--quiet", "--backend", "dense"])
+    out2 = str(tmp_path / "b.txt")
+    rc = cli.main(["render", scene_file, "--spp", "5", "--out", out2,
+                   "--resume", ck, "--quiet", "--backend", "dense"])
+    assert rc == 0
+    out3 = str(tmp_path / "c.txt")
+    cli.main(["render", scene_file, "--spp", "5", "--out", out3,
+              "--quiet", "--backend", "dense"])
+    np.testing.assert_allclose(np.loadtxt(out2), np.loadtxt(out3),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_cli_missing_object_redirect(tmp_path, scene_file, capsys):
+    # rewrite the scene to point at a missing OBJ
+    sc = scene_io.load_scene(scene_file)
+    real = sc.objects[0].filename
+    sc.objects[0].filename = "/missing/cornell.obj"
+    bad = str(tmp_path / "bad.pts")
+    scene_io.save_scene(sc, bad)
+
+    rc = cli.main(["render", bad, "--spp", "1", "--quiet",
+                   "--out", str(tmp_path / "x.txt")])
+    assert rc == 2  # refuses with a redirect hint
+    rc = cli.main(["render", bad, "--spp", "1", "--quiet",
+                   "--out", str(tmp_path / "x.txt"),
+                   "--redirect", f"0={real}", "--backend", "dense"])
+    assert rc == 0
+
+
+def test_cli_peek_info_new_import(tmp_path, scene_file, capsys):
+    assert cli.main(["peek", scene_file]) == 0
+    assert capsys.readouterr().out.strip() == "16x16"
+
+    assert cli.main(["info", scene_file]) == 0
+    out = capsys.readouterr().out
+    assert "triangles: 36" in out
+    assert "light" in out
+
+    p = str(tmp_path / "empty.pts")
+    assert cli.main(["new", p]) == 0
+    assert scene_io.get_resolution_from_scene_file(p) == (1024, 768)
+
+    wv = tmp_path / "waves.txt"
+    wv.write_text("100 200 300\n")
+    assert cli.main(["import", "waves", str(wv)]) == 0
+    assert "3 wavelengths" in capsys.readouterr().out
+
+
+def test_viewer_grayscale_and_ascii():
+    img = np.zeros((4, 4, 2), np.float32)
+    img[0, 0, 0] = 1.0
+    img[1, 1, 0] = 0.5
+    img[2, 2, 0] = np.nan
+    g = viewer.to_grayscale(img, 0)
+    assert g.dtype == np.uint8
+    assert g[0, 0] == 255 and g[1, 1] == 127 and g[2, 2] == 0
+    gn = viewer.normalized_grayscale(img * 10.0, 0)
+    assert gn[0, 0] == 255
+    txt = viewer.ascii_preview(img, 0, width=4)
+    assert isinstance(txt, str) and len(txt) > 0
+    # out-of-range channel: black
+    assert viewer.to_grayscale(img, 5).max() == 0
