@@ -133,8 +133,23 @@ def make_sphere(path, n_theta=24, n_phi=48):
                     f.write(f"f {a}/{a}/{a} {c}/{c}/{c} {d}/{d}/{d}\n")
 
 
+def make_checker_png(path, size=128, tiles=8):
+    """Checkerboard texture (roughness/normal-map test input)."""
+    import numpy as np
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    y, x = np.mgrid[0:size, 0:size]
+    checker = (((x * tiles // size) + (y * tiles // size)) % 2).astype(np.uint8)
+    img = np.stack([checker * 255, checker * 200 + 55, 255 - checker * 255,
+                    np.full_like(checker, 255)], axis=-1)
+    Image.fromarray(img.astype('uint8'), 'RGBA').save(path)
+
+
 if __name__ == "__main__":
     make_cornell(os.path.join(HERE, "cornell_box.obj"))
     make_prism(os.path.join(HERE, "prism.obj"))
     make_sphere(os.path.join(HERE, "sphere.obj"))
+    make_checker_png(os.path.join(HERE, "checker.png"))
     print("assets written")

@@ -1,0 +1,232 @@
+"""Full benchmark suite: the five BASELINE.json configs.
+
+Run on the target device (TPU under the driver). Prints one JSON line per
+config and writes BENCH_SUITE.json. `bench.py` remains the single headline
+number for the driver.
+
+Configs (BASELINE.json):
+  1. Cornell box 512x512, diffuse-only spectral, 64 spp — plus the spectral
+     RMSE gate vs the CPU reference implementation at equal spp/seed
+     (gate run at 128x128/8spp to keep the CPU render tractable).
+  2. Dielectric dispersion scene (glass wedge prism, Cauchy IOR).
+  3. Textured OBJ mesh scene (sphere + checker roughness texture, full BVH
+     path exercised), 1080p progressive.
+  4. Mixed-material scene at depth-8, 4096 spp converged.
+  5. Multi-chip tiled render at 4K with tile sharding + spp-allreduce
+     accumulation over ICI (runs on however many chips are visible).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
+RESULTS = []
+
+
+def report(name, **kv):
+    entry = {"config": name, **kv}
+    RESULTS.append(entry)
+    print(json.dumps(entry), flush=True)
+
+
+def _session(scene, **kw):
+    from pathtracing_spectrum_tpu.render import RenderSession
+    return RenderSession(scene, **kw)
+
+
+def _timed_spp(session, spp, batch=16):
+    session.start()
+    session.step(1)  # compile
+    session.restart()
+    t0 = time.perf_counter()
+    done = 0
+    while done < spp:
+        n = min(batch, spp - done)
+        session.step(n)
+        done += n
+    dt = time.perf_counter() - t0
+    return dt, session.stats()
+
+
+def cornell_scene(res, depth, block_types=("DIFFUSE", "DIFFUSE")):
+    from pathtracing_spectrum_tpu import Material, MaterialType, Scene, \
+        SpectrumMaterial
+    sc = Scene()
+    sc.wavelengths = [500.0, 1000.0, 1500.0, 2000.0]
+    sc.spectrum_materials = [
+        SpectrumMaterial("white", [0.8, 0.7, 0.75, 0.8]),
+        SpectrumMaterial("emitter", [1.0, 1.0, 1.0, 1.0]),
+    ]
+    sc.trace_depth = depth
+    sc.resolution = res
+    obj = sc.load_object(os.path.join(ASSETS, "cornell_box.obj"))
+    for i, el in enumerate(obj.elements):
+        t = 500.0 if el.name == "light" else 20.0
+        sid = 1 if el.name == "light" else 0
+        mtype = MaterialType.DIFFUSE
+        if el.name == "tall_block":
+            mtype = MaterialType[block_types[0]]
+        elif el.name == "short_block":
+            mtype = MaterialType[block_types[1]]
+        sc.set_material(0, i, Material(type=mtype, temperature=t,
+                                       spectrum_mat_id=sid, roughness=0.2))
+    sc.set_camera([0.0, 0.0, -2.0], [0.0, 0.0, 0.0])
+    sc.camera_fovy = 50.0
+    return sc
+
+
+def config1_cornell():
+    sc = cornell_scene((512, 512), 3)
+    s = _session(sc)
+    dt, st = _timed_spp(s, 64)
+    report("cornell_512_diffuse_64spp",
+           spp=64, seconds=round(dt, 3),
+           spp_per_sec=round(64 / dt, 2),
+           mrays_per_sec=round(st["rays_traced"] / s.elapsed / 1e6, 1))
+
+    # RMSE gate vs CPU reference implementation, equal spp + seed
+    ref_npy = os.path.join(tempfile.gettempdir(), "pts_ref_cpu.npy")
+    code = f"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import sys, numpy as np
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+import bench_suite as bs
+sc = bs.cornell_scene((128, 128), 3)
+s = bs._session(sc, backend='dense', seed=0)
+s.run(target_spp=8)
+np.save({ref_npy!r}, s.result())
+"""
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=1200)
+    cpu_img = np.load(ref_npy)
+
+    sc = cornell_scene((128, 128), 3)
+    s = _session(sc, seed=0)
+    s.run(target_spp=8)
+    tpu_img = s.result()
+    rmse = float(np.sqrt(np.mean((tpu_img - cpu_img) ** 2))
+                 / max(np.sqrt(np.mean(cpu_img ** 2)), 1e-20))
+    report("cornell_rmse_vs_cpu_ref", rmse_rel=round(rmse, 6),
+           gate="<0.01", passed=bool(rmse < 0.01))
+
+
+def config2_dispersion():
+    from pathtracing_spectrum_tpu import Material, MaterialType, Scene, \
+        SpectrumMaterial
+    sc = Scene()
+    sc.wavelengths = [500.0, 1000.0, 1500.0, 2000.0]
+    sc.spectrum_materials = [SpectrumMaterial("glass", [0.0] * 4),
+                             SpectrumMaterial("surface", [0.9] * 4),
+                             SpectrumMaterial("emitter", [1.0] * 4)]
+    sc.trace_depth = 5
+    sc.resolution = (512, 512)
+    obj = sc.load_object(os.path.join(ASSETS, "prism.obj"))
+    mats = {
+        "floor": Material(type=MaterialType.DIFFUSE, spectrum_mat_id=1,
+                          temperature=20.0),
+        "back": Material(type=MaterialType.DIFFUSE, spectrum_mat_id=1,
+                         temperature=20.0),
+        "emitter": Material(type=MaterialType.DIFFUSE, spectrum_mat_id=2,
+                            temperature=600.0),
+        "prism": Material(type=MaterialType.GLASS, spectrum_mat_id=0,
+                          temperature=500.0, ior=1.45, dispersion_b=0.2),
+    }
+    for i, el in enumerate(obj.elements):
+        sc.set_material(0, i, mats[el.name])
+    sc.set_camera([0.0, 0.5, -4.0], [0.0, 0.0, 0.0])
+    sc.camera_fovy = 60.0
+
+    s = _session(sc, dispersion=True)
+    dt, st = _timed_spp(s, 32)
+    report("dispersion_prism_512_32spp", spp=32, seconds=round(dt, 3),
+           spp_per_sec=round(32 / dt, 2),
+           mrays_per_sec=round(st["rays_traced"] / s.elapsed / 1e6, 1))
+
+
+def textured_sphere_scene(res):
+    from pathtracing_spectrum_tpu import Material, MaterialType, Scene, \
+        SpectrumMaterial
+    sc = Scene()
+    sc.wavelengths = [500.0, 1000.0, 1500.0, 2000.0]
+    sc.spectrum_materials = [SpectrumMaterial("body", [0.7, 0.75, 0.8, 0.7]),
+                             SpectrumMaterial("emitter", [1.0] * 4)]
+    sc.trace_depth = 3
+    sc.resolution = res
+    obj = sc.load_object(os.path.join(ASSETS, "sphere.obj"))
+    sc.set_material(0, 0, Material(
+        type=MaterialType.GLOSSY, spectrum_mat_id=0, temperature=80.0,
+        roughness=0.4,
+        roughness_tex_file=os.path.join(ASSETS, "checker.png")))
+    obj.set_location([0.0, 0.0, 3.0])
+    box = sc.load_object(os.path.join(ASSETS, "cornell_box.obj"))
+    for i, el in enumerate(box.elements):
+        t = 400.0 if el.name == "light" else 15.0
+        sid = 1 if el.name == "light" else 0
+        sc.set_material(1, i, Material(type=MaterialType.DIFFUSE,
+                                       temperature=t, spectrum_mat_id=sid))
+    sc.set_camera([0.0, 0.0, -1.0], [0.0, 0.0, 0.0])
+    sc.camera_fovy = 55.0
+    return sc
+
+
+def config3_textured_1080p():
+    sc = textured_sphere_scene((1920, 1080))
+    s = _session(sc)
+    dt, st = _timed_spp(s, 16, batch=8)
+    report("textured_sphere_1080p", spp=16, seconds=round(dt, 3),
+           spp_per_sec_1080p=round(16 / dt, 3),
+           triangles=st["triangles"],
+           mrays_per_sec=round(st["rays_traced"] / s.elapsed / 1e6, 1))
+
+
+def config4_mixed_depth8():
+    sc = cornell_scene((512, 512), 8, block_types=("SPECULAR", "GLASS"))
+    s = _session(sc)
+    spp = int(os.environ.get("PTS_SUITE_SPP4", "4096"))
+    dt, st = _timed_spp(s, spp, batch=64)
+    report("mixed_material_depth8", spp=spp, seconds=round(dt, 3),
+           spp_per_sec=round(spp / dt, 2),
+           mrays_per_sec=round(st["rays_traced"] / s.elapsed / 1e6, 1))
+
+
+def config5_multichip_4k():
+    from pathtracing_spectrum_tpu.parallel.mesh import make_mesh
+    from pathtracing_spectrum_tpu.parallel.tiling import TileSharding
+    n_dev = len(jax.devices())
+    sc = cornell_scene((3840, 2160), 3)
+    s = _session(sc, sharding=TileSharding(make_mesh()))
+    dt, st = _timed_spp(s, 4, batch=2)
+    report("multichip_4k_tiled", devices=n_dev, spp=4, seconds=round(dt, 3),
+           spp_per_sec_4k=round(4 / dt, 3),
+           mrays_per_sec_total=round(st["rays_traced"] / s.elapsed / 1e6, 1))
+
+
+def main():
+    t0 = time.time()
+    for fn in (config1_cornell, config2_dispersion, config3_textured_1080p,
+               config4_mixed_depth8, config5_multichip_4k):
+        try:
+            fn()
+        except Exception as e:  # keep the suite running; record the failure
+            report(fn.__name__, error=f"{type(e).__name__}: {e}")
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH_SUITE.json")
+    with open(out, "w") as f:
+        json.dump({"elapsed_s": round(time.time() - t0, 1),
+                   "device": str(jax.devices()[0]),
+                   "results": RESULTS}, f, indent=2)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

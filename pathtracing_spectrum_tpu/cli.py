@@ -46,6 +46,8 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--jitter", action="store_true",
                    help="sub-pixel anti-aliasing (off = reference parity)")
+    r.add_argument("--dispersion", action="store_true",
+                   help="hero-wavelength dispersion (per-wavelength IOR)")
     r.add_argument("--batch", type=int, default=8,
                    help="samples per device dispatch")
     r.add_argument("--checkpoint", default=None,
@@ -120,7 +122,7 @@ def cmd_render(args) -> int:
 
     session = RenderSession(scene, backend=args.backend, seed=args.seed,
                             jitter=args.jitter, resolution=resolution,
-                            sharding=sharding)
+                            sharding=sharding, dispersion=args.dispersion)
     if args.resume:
         session.start()
         session.load_checkpoint(args.resume)

@@ -97,7 +97,8 @@ def _norm3(x, y, z):
 
 def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                    backend: str = "auto", leaf_size: int = 4,
-                   rand_override: Optional[jnp.ndarray] = None) -> TraceResult:
+                   rand_override: Optional[jnp.ndarray] = None,
+                   dispersion: bool = False) -> TraceResult:
     """Trace radiance spectra for a batch of rays.
 
     Args:
@@ -108,7 +109,12 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         2*max_depth hit iterations (pathtracer.cpp:455).
       backend: "auto", "dense", "dense_pallas" or "bvh".
       rand_override: optional [2*max_depth, 4, N] fixed U[0,1) variates
-        (testing: lets a host oracle replay the same sequence).
+        (testing: lets a host oracle replay the identical sequence).
+      dispersion: hero-wavelength mode — each ray samples ONE wavelength
+        channel (throughput = nw * onehot(hero), an unbiased estimator of
+        the per-channel image) and GLASS refracts with that channel's
+        Cauchy index from the material's ior/dispersion_b instead of the
+        reference's fixed 1.5. Off by default (reference parity).
 
     Returns:
       TraceResult(radiance [N, nw], rays_traced scalar).
@@ -159,6 +165,13 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
 
     def rows(attrs_t, name):
         return attrs_t[lay[name]]
+
+    use_dispersion = dispersion and nw > 0
+    if use_dispersion:
+        hero_u = jax.random.uniform(jax.random.fold_in(key, 0x0D15), (n,))
+        hero = jnp.minimum((hero_u * nw).astype(jnp.int32), nw - 1)
+        hero_onehot_t = (jnp.arange(nw, dtype=jnp.int32)[:, None]
+                         == hero[None, :]).astype(jnp.float32)  # [nw, N]
 
     def body(h, state):
         (rox, roy, roz, rdx, rdy, rdz,
@@ -282,10 +295,17 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                                  throughput_t)
 
         # ---- bounce ----
+        if use_dispersion:
+            ior_hero = jnp.sum(rows(attrs_t, "ior_curve") * hero_onehot_t,
+                               axis=0)
+            ior_hero = jnp.maximum(ior_hero, 1.0 + 1e-6)
+            eta_kw = dict(eta_inside=ior_hero, eta_outside=1.0 / ior_hero)
+        else:
+            eta_kw = {}
         b = sampling.sample_bounce_soa(
             row(attrs_t, "mat_type").astype(jnp.int32),
             rdx, rdy, rdz, nx, ny, nz, roughness, inside,
-            u_rand, th_rand, fr_rand)
+            u_rand, th_rand, fr_rand, **eta_kw)
         back = jnp.where(b.refracted, EPS * 2.0, 0.0)
         rox = jnp.where(survive, pox - nx * back, rox)
         roy = jnp.where(survive, poy - ny * back, roy)
@@ -298,8 +318,10 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         return (rox, roy, roz, rdx, rdy, rdz,
                 throughput_t, radiance_t, inside, alive, rays_traced)
 
+    throughput0 = (hero_onehot_t * jnp.float32(nw) if use_dispersion
+                   else jnp.ones((nw, n), jnp.float32))
     state = (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
-             jnp.ones((nw, n), jnp.float32),
+             throughput0,
              jnp.zeros((nw, n), jnp.float32),
              jnp.zeros(n, bool),
              jnp.ones(n, bool),
@@ -314,9 +336,11 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_depth", "backend", "leaf_size"))
+                   static_argnames=("max_depth", "backend", "leaf_size",
+                                    "dispersion"))
 def render_sample(scene: SceneData, ro, rd, total, samples, key,
-                  max_depth: int, backend: str = "auto", leaf_size: int = 4):
+                  max_depth: int, backend: str = "auto", leaf_size: int = 4,
+                  dispersion: bool = False):
     """One progressive sample: trace all pixels once and accumulate.
 
     Reproduces ``RenderFrame``'s accumulation (pathtracer.cpp:595-598):
@@ -324,7 +348,8 @@ def render_sample(scene: SceneData, ro, rd, total, samples, key,
 
     Returns (total', samples', out, rays_traced).
     """
-    res = trace_radiance(scene, ro, rd, key, max_depth, backend, leaf_size)
+    res = trace_radiance(scene, ro, rd, key, max_depth, backend, leaf_size,
+                         dispersion=dispersion)
     total = total + res.radiance
     samples = samples + 1
     out = total / samples.astype(jnp.float32)
@@ -333,11 +358,12 @@ def render_sample(scene: SceneData, ro, rd, total, samples, key,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_steps", "max_depth", "backend",
-                                    "leaf_size"),
+                                    "leaf_size", "dispersion"),
                    donate_argnums=(3,))
 def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
                    counter0, n_steps: int, max_depth: int,
-                   backend: str = "auto", leaf_size: int = 4):
+                   backend: str = "auto", leaf_size: int = 4,
+                   dispersion: bool = False):
     """``n_steps`` progressive samples in ONE dispatch.
 
     Per-call launch latency on a tunneled/remote TPU can reach hundreds of
@@ -350,7 +376,8 @@ def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
     def body(i, carry):
         total, samples, rays = carry
         k = jax.random.fold_in(base_key, counter0 + i)
-        res = trace_radiance(scene, ro, rd, k, max_depth, backend, leaf_size)
+        res = trace_radiance(scene, ro, rd, k, max_depth, backend, leaf_size,
+                             dispersion=dispersion)
         return total + res.radiance, samples + 1, rays + res.rays_traced
 
     total, samples, rays = jax.lax.fori_loop(

@@ -48,6 +48,13 @@ class Material:
     emissive: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # parity; unused by tracer
     ior: float = 1.0  # parity; tracer uses fixed 1.0/1.5 like the reference
 
+    # Dispersion extension (not in the reference — its `ior` is declared but
+    # never used, pathtracer.h:54). In dispersion render mode, GLASS uses a
+    # per-wavelength Cauchy index n(lambda) = ior + dispersion_b / lambda_um^2
+    # (lambda_um = 1e4 / wavenumber_cm). With dispersion mode off (default)
+    # the tracer keeps the reference's hardcoded 1.0/1.5 pair.
+    dispersion_b: float = 0.0  # Cauchy B coefficient in um^2
+
     normal_tex_file: str = ""
     roughness_tex_file: str = ""
     temperature_tex_file: str = ""   # parity; reference declares but never samples it

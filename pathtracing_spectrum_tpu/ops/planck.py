@@ -68,7 +68,8 @@ def planck_bbp_np(temperature_k, wavenumbers) -> np.ndarray:
     v = np.asarray(wavenumbers, np.float32)
     num = np.float32(2e8 * (_H * _C * _C)) * v * v * v
     x = np.float32(100.0 * _H * _C) * v / np.float32(_K) / np.where(t > 0, t, 1)
-    val = num / (np.exp(x) - 1.0)
+    with np.errstate(over="ignore"):  # exp overflow -> inf -> val 0, fine
+        val = num / (np.exp(x) - 1.0)
     return np.where(t > 0.0, val, 0.0).astype(np.float32)
 
 

@@ -8,12 +8,13 @@ turns the whole fetch into a single one-hot [N, T] x [T, F] matmul on the
 MXU (exact: one-hot rows select, they don't mix), ~20x cheaper for small T.
 For large T the engine falls back to a single packed gather.
 
-Layout (F = BASE + 3*nw):
+Layout (F = BASE + 4*nw):
   v1[0:3] e1[3:6] e2[6:9] n1[9:12] n2[12:15] n3[15:18]
   uv1[18:20] uv2[20:22] uv3[22:24] face_n[24:27] tangent[27:30]
   bitangent[30:33] d00[33] d01[34] d11[35] inv_denom[36] smoothing[37]
   mat_type[38] rr_prob[39] roughness[40] normal_tex[41] roughness_tex[42]
   temp_grid[43] emissivity[44:44+nw] reflectivity[+nw] eps_curve[+nw]
+  ior_curve[+nw] (per-wavelength Cauchy index, dispersion mode)
 
 Int-valued columns (type, texture ids, smoothing) are stored as float32 —
 exact for the small ranges involved — and compared as floats in the engine.
@@ -44,15 +45,16 @@ def layout(nw: int) -> Dict[str, slice]:
         "emissivity": slice(o, o + nw),
         "reflectivity": slice(o + nw, o + 2 * nw),
         "eps_curve": slice(o + 2 * nw, o + 3 * nw),
+        "ior_curve": slice(o + 3 * nw, o + 4 * nw),
     }
 
 
 def pack_shade_table(soa, mat_type, mat_rr, mat_rough, mat_ntex, mat_rtex,
-                     mat_grid, emis, refl, eps_curve) -> np.ndarray:
-    """Build the [T, BASE + 3*nw] table from the triangle SoA + material rows."""
+                     mat_grid, emis, refl, eps_curve, ior_curve) -> np.ndarray:
+    """Build the [T, BASE + 4*nw] table from the triangle SoA + material rows."""
     t = soa.count
     nw = emis.shape[1]
-    f = BASE + 3 * nw
+    f = BASE + 4 * nw
     out = np.zeros((t, f), np.float32)
     lay = layout(nw)
     mid = soa.material_id
@@ -82,4 +84,5 @@ def pack_shade_table(soa, mat_type, mat_rr, mat_rough, mat_ntex, mat_rtex,
     out[:, lay["emissivity"]] = emis[mid]
     out[:, lay["reflectivity"]] = refl[mid]
     out[:, lay["eps_curve"]] = eps_curve[mid]
+    out[:, lay["ior_curve"]] = ior_curve[mid]
     return out

@@ -65,7 +65,7 @@ class TileSharding:
         return jax.device_put(self._pad(total), tile_sharded(self.mesh))
 
     def render_sample(self, scene_data, ro, rd, total, samples, key,
-                      max_depth, backend="auto"):
+                      max_depth, backend="auto", dispersion=False):
         """Same signature as engine.render_sample; inputs already sharded.
 
         The computation is embarrassingly parallel over pixels, so jit +
@@ -74,16 +74,19 @@ class TileSharding:
         """
         scene_data = self.shard_scene(scene_data)
         return _render_sample_1chip(scene_data, ro, rd, total, samples, key,
-                                    max_depth=max_depth, backend=backend)
+                                    max_depth=max_depth, backend=backend,
+                                    dispersion=dispersion)
 
     def render_samples(self, scene_data, ro, rd, total, samples, base_key,
-                       counter0, n_steps, max_depth, backend="auto"):
+                       counter0, n_steps, max_depth, backend="auto",
+                       dispersion=False):
         """Batched multi-sample step (one dispatch), sharded over pixels."""
         from ..engine import render_samples as _render_samples_1chip
         scene_data = self.shard_scene(scene_data)
         return _render_samples_1chip(scene_data, ro, rd, total, samples,
                                      base_key, counter0, n_steps=n_steps,
-                                     max_depth=max_depth, backend=backend)
+                                     max_depth=max_depth, backend=backend,
+                                     dispersion=dispersion)
 
     def gather(self, out):
         arr = np.asarray(out)
@@ -114,21 +117,24 @@ class SppAllreduce:
         return np.asarray(out)
 
     def render_sample(self, scene_data, ro, rd, total, samples, key,
-                      max_depth, backend="dense"):
+                      max_depth, backend="dense", dispersion=False):
         """One step = n_devices samples, combined with a psum over ICI."""
         scene_data = jax.device_put(scene_data, replicated(self.mesh))
         return _spp_allreduce_step(self.mesh, scene_data, ro, rd, total,
-                                   samples, key, max_depth, backend)
+                                   samples, key, max_depth, backend,
+                                   dispersion)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "max_depth", "backend"))
+                   static_argnames=("mesh", "max_depth", "backend",
+                                    "dispersion"))
 def _spp_allreduce_step(mesh, scene_data, ro, rd, total, samples, key,
-                        max_depth, backend):
+                        max_depth, backend, dispersion=False):
     def device_fn(scene, o, d, k):
         dev = jax.lax.axis_index(TILE_AXIS)
         k = jax.random.fold_in(k, dev)
-        res = trace_radiance(scene, o, d, k, max_depth, backend)
+        res = trace_radiance(scene, o, d, k, max_depth, backend,
+                             dispersion=dispersion)
         # spp-allreduce: sum the per-device samples over the ICI ring
         rad = jax.lax.psum(res.radiance, TILE_AXIS)
         nrays = jax.lax.psum(res.rays_traced, TILE_AXIS)

@@ -55,14 +55,15 @@ class RenderStatus(enum.Enum):
 class RenderSession:
     """Owns the progressive accumulator for one scene + camera."""
 
-    def __init__(self, scene: Scene, backend: str = "dense",
-                 jitter: bool = False, seed: int = 0,
+    def __init__(self, scene: Scene, backend: str = "auto",
+                 jitter: bool = False, seed: int = 0, dispersion: bool = False,
                  auto_backend_threshold: int = 4096,
                  resolution: Optional[tuple] = None,
                  sharding=None):
         self.scene = scene
         self.jitter = jitter
         self.seed = seed
+        self.dispersion = dispersion
         self._backend = backend
         self._auto_threshold = auto_backend_threshold
         self._resolution_override = resolution
@@ -182,7 +183,7 @@ class RenderSession:
                 self._scene_data, self._ro, self._rd, self._total,
                 self._samples, self._key, self._sample_counter,
                 n_steps=n_samples, max_depth=self.scene.trace_depth,
-                backend=self.backend)
+                backend=self.backend, dispersion=self.dispersion)
             self._sample_counter += n_samples
             self.rays_traced += int(nrays)
         else:
@@ -201,7 +202,8 @@ class RenderSession:
                            else render_sample)
                 self._total, self._samples, self._out, nrays = step_fn(
                     self._scene_data, ro, rd, self._total, self._samples, key,
-                    max_depth=self.scene.trace_depth, backend=self.backend)
+                    max_depth=self.scene.trace_depth, backend=self.backend,
+                    dispersion=self.dispersion)
                 self._sample_counter += 1
                 self.rays_traced += int(nrays)
         jax.block_until_ready(self._out)

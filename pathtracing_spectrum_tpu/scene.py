@@ -411,10 +411,21 @@ class Scene:
         k1, k2, k3, consts = precompute_intersect_tables(
             soa.v1, soa.e1, soa.e2, soa.face_n)
 
+        # Per-wavelength Cauchy IOR curve for dispersion mode:
+        # n(v) = ior + B / lambda_um^2, lambda_um = 1e4 / v (v in 1/cm).
+        with np.errstate(divide="ignore"):
+            lam_um = np.where(wavenumbers > 0, 1e4 / np.where(
+                wavenumbers > 0, wavenumbers, 1.0), np.inf)
+        ior_curve = np.stack([
+            np.full(nw, mt.ior, np.float32)
+            + np.float32(mt.dispersion_b) / (lam_um * lam_um)
+            for mt in mats]).astype(np.float32) if nw else np.zeros(
+                (m, 0), np.float32)
+
         from .ops.shade_pack import pack_shade_table
         tri_shade = pack_shade_table(soa, mat_type, mat_rr, mat_rough,
                                      mat_ntex, mat_rtex, mat_grid,
-                                     emis, refl, eps_curve)
+                                     emis, refl, eps_curve, ior_curve)
 
         dev = np.asarray
         data = SceneData(
