@@ -37,27 +37,27 @@ def main():
     backend = os.environ.get("PTS_BENCH_BACKEND", "auto")
     n_steps = int(os.environ.get("PTS_BENCH_STEPS", "64"))
 
-    def fresh():
-        return (jnp.zeros((w * h, nw), jnp.float32),
-                jnp.zeros((), jnp.int32))
+    total = jnp.zeros((w * h, nw), jnp.float32)
+    samples = jnp.zeros((), jnp.int32)
 
     # warmup / compile (the whole multi-sample batch is ONE dispatch — launch
     # latency on a tunneled TPU would otherwise dominate)
-    total, samples = fresh()
     total, samples, out, nrays = render_samples(
         scene, ro, rd, total, samples, key, 0, n_steps=n_steps,
         max_depth=depth, backend=backend)
     jax.block_until_ready(out)
-
-    # timed steady-state: best of 3 batches (tunnel latency is noisy)
-    best = float("inf")
     rays = int(nrays)
-    for rep in range(3):
-        total, samples = fresh()
+
+    # timed steady-state: best of 3 batches (tunnel latency is noisy).
+    # IMPORTANT: every batch continues the accumulation with a fresh sample
+    # counter — identical dispatches would be memoized by the axon relay and
+    # report fantasy numbers.
+    best = float("inf")
+    for rep in range(1, 4):
         t0 = time.perf_counter()
         total, samples, out, nrays = render_samples(
-            scene, ro, rd, total, samples, key, 0, n_steps=n_steps,
-            max_depth=depth, backend=backend)
+            scene, ro, rd, total, samples, key, rep * n_steps,
+            n_steps=n_steps, max_depth=depth, backend=backend)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
 

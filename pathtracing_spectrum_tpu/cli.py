@@ -52,8 +52,12 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="samples per device dispatch")
     r.add_argument("--checkpoint", default=None,
                    help="write accumulator checkpoint here when done")
+    r.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                   help="also checkpoint every N samples (preemption safety)")
     r.add_argument("--resume", default=None,
                    help="resume accumulator from checkpoint")
+    r.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the render into DIR")
     r.add_argument("--redirect", action="append", default=[],
                    metavar="IDX=PATH",
                    help="redirect missing OBJ path for object IDX")
@@ -130,14 +134,30 @@ def cmd_render(args) -> int:
 
     target = max(0, min(args.spp, 65535))
     session.start()
-    while session.samples < target:
-        n = min(args.batch, target - session.samples)
-        session.step(n)
-        if not args.quiet:
-            st = session.stats()
-            print(f"\r{st['samples']}/{target} spp  "
-                  f"{st['avg_time_per_sample_s']*1000:.1f} ms/sample  "
-                  f"{st['mrays_per_s']:.1f} Mray/s", end="", flush=True)
+    profiler = None
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
+        profiler = args.profile
+    try:
+        last_ck = session.samples
+        while session.samples < target:
+            n = min(args.batch, target - session.samples)
+            session.step(n)
+            if (args.checkpoint and args.checkpoint_every
+                    and session.samples - last_ck >= args.checkpoint_every):
+                session.save_checkpoint(args.checkpoint)
+                last_ck = session.samples
+            if not args.quiet:
+                st = session.stats()
+                print(f"\r{st['samples']}/{target} spp  "
+                      f"{st['avg_time_per_sample_s']*1000:.1f} ms/sample  "
+                      f"{st['mrays_per_s']:.1f} Mray/s", end="", flush=True)
+    finally:
+        if profiler:
+            import jax
+            jax.profiler.stop_trace()
+            print(f"\nprofile trace: {profiler}")
     if not args.quiet:
         print()
     session.pause()

@@ -58,27 +58,35 @@ from .scene import SceneData
 from .ops import planck, sampling
 from .ops.shade_pack import layout as shade_layout
 from .ops.intersect import intersect_bruteforce
-from .ops.intersect_pallas import intersect_dense_pallas_soa, pack_tri16
+from .ops.intersect_pallas import (build_cluster_aabbs,
+                                   intersect_clustered_pallas_soa,
+                                   intersect_dense_pallas_soa, pack_tri16)
 from .ops.bvh import intersect_bvh
 from .ops.texturing import sample_nearest
 
-# Use the one-hot MXU fetch below this triangle count; plain gather above.
-ONEHOT_FETCH_MAX_TRIS = 2048
+# One-hot MXU fetch while the [T, N] one-hot stays under this many bytes;
+# single packed gather above (the one-hot would blow HBM for big scenes).
+ONEHOT_FETCH_MAX_BYTES = 256 * 1024 * 1024
 
-# "auto" backend: dense sweep below this triangle count, BVH above.
-DENSE_AUTO_MAX_TRIS = 8192
+# "auto" backend: dense sweep below this triangle count.
+DENSE_AUTO_MAX_TRIS = 512
 
 
 def resolve_backend(backend: str, n_tris: int) -> str:
     """Map 'auto'/'dense' to a concrete implementation for this platform.
 
-    On TPU the dense path uses the Pallas kernel; elsewhere (CPU tests,
-    interpret runs) the portable jnp sweep. Large scenes use the BVH.
+    On TPU: Pallas kernels — plain dense sweep for small scenes, the
+    cluster-culled sweep ("cluster") above DENSE_AUTO_MAX_TRIS. On CPU:
+    the portable jnp sweep, or the lockstep skip-link BVH for big scenes
+    (XLA's scattered gathers make that path TPU-hostile).
     """
     platform = jax.devices()[0].platform.lower()
     on_tpu = platform in ("tpu", "axon")
     if backend == "auto":
-        backend = "dense" if n_tris <= DENSE_AUTO_MAX_TRIS else "bvh"
+        if on_tpu:
+            backend = "dense" if n_tris <= DENSE_AUTO_MAX_TRIS else "cluster"
+        else:
+            backend = "dense" if n_tris <= 8192 else "bvh"
     if backend == "dense" and on_tpu:
         return "dense_pallas"
     return backend
@@ -129,12 +137,15 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
 
     tri16 = (pack_tri16(scene.tri_face_n, scene.tri_k1, scene.tri_k2,
                         scene.tri_k3, scene.tri_consts)
-             if backend == "dense_pallas" else None)
+             if backend in ("dense_pallas", "cluster") else None)
     shade_t = scene.tri_shade.T  # [F, T] — loop-invariant, hoisted by XLA
 
     def intersect(ox, oy, oz, dx, dy, dz):
         if backend == "dense_pallas":
             return intersect_dense_pallas_soa(ox, oy, oz, dx, dy, dz, tri16)
+        if backend == "cluster":
+            return intersect_clustered_pallas_soa(
+                ox, oy, oz, dx, dy, dz, tri16, scene.cluster_aabbs)
         o = jnp.stack([ox, oy, oz], axis=1)
         d = jnp.stack([dx, dy, dz], axis=1)
         if backend == "dense":
@@ -149,7 +160,7 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
 
     def fetch_attrs_t(idx):
         """[F, N] attribute planes for each ray's hit triangle."""
-        if n_tris <= ONEHOT_FETCH_MAX_TRIS:
+        if n_tris * n * 4 <= ONEHOT_FETCH_MAX_BYTES:
             onehot_t = (jnp.arange(n_tris, dtype=jnp.int32)[:, None]
                         == idx[None, :]).astype(jnp.float32)   # [T, N]
             return jnp.dot(shade_t, onehot_t,

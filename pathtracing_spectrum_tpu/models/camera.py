@@ -51,6 +51,29 @@ class Camera:
         return Camera(tuple(self.position), tuple(d), tuple(u), f, fovy)
 
 
+def tile_order(width: int, height: int, tile: int = 32):
+    """Permutation putting pixels in tile-major order, and its inverse.
+
+    TPU rationale: the intersection kernels process rays in blocks of 1024;
+    in scanline order a block is a 1024-pixel-wide strip crossing the whole
+    image, which defeats cluster-AABB culling. In 32x32 tile order a block
+    is a compact screen region, so primary (and shallow-bounce) blocks cull
+    most of the scene.
+
+    Returns (perm, inv_perm) int32 arrays of length width*height such that
+    ``flat_tiled = flat[perm]`` and ``flat = flat_tiled[inv_perm]``.
+    """
+    idx = np.arange(width * height, dtype=np.int64)
+    y, x = idx // width, idx % width
+    ty, tx = y // tile, x // tile
+    key = (((ty * ((width + tile - 1) // tile) + tx) << 20)
+           + (y % tile) * tile + (x % tile))
+    perm = np.argsort(key, kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.shape[0], dtype=np.int32)
+    return perm, inv
+
+
 def camera_rays(cam: Camera, width: int, height: int,
                 key: "jax.Array | None" = None, jitter: bool = False):
     """Generate primary rays.

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .engine import render_sample, render_samples
-from .models.camera import camera_rays
+from .models.camera import camera_rays, tile_order
 from .scene import Scene, SceneData
 
 MAX_TARGET_SPP = 65535  # reference GUI clamp (main.cpp:1662-1669)
@@ -59,7 +59,7 @@ class RenderSession:
                  jitter: bool = False, seed: int = 0, dispersion: bool = False,
                  auto_backend_threshold: int = 4096,
                  resolution: Optional[tuple] = None,
-                 sharding=None):
+                 sharding=None, tile_ordering: bool = True):
         self.scene = scene
         self.jitter = jitter
         self.seed = seed
@@ -68,6 +68,9 @@ class RenderSession:
         self._auto_threshold = auto_backend_threshold
         self._resolution_override = resolution
         self._sharding = sharding  # optional parallel.TileSharding
+        self._tile_ordering = tile_ordering
+        self._perm = None
+        self._inv_perm = None
 
         self.status = RenderStatus.IDLE
         self.target_spp: int = 0  # 0 = unbounded (reference semantics)
@@ -117,6 +120,12 @@ class RenderSession:
         w, h = self.resolution
         cam = self.scene.camera()
         self._ro, self._rd = camera_rays(cam, w, h)
+        if self._tile_ordering:
+            # compact 32x32 screen tiles per ray block: cluster-AABB culling
+            # in the intersection kernel needs spatially coherent blocks
+            self._perm, self._inv_perm = tile_order(w, h)
+            self._ro = self._ro[self._perm]
+            self._rd = self._rd[self._perm]
         if self._sharding is not None:
             self._ro, self._rd = self._sharding.shard_rays(self._ro, self._rd)
         self._dirty = False
@@ -194,6 +203,8 @@ class RenderSession:
                     cam_key = jax.random.fold_in(key, 0xC0FFEE)
                     ro, rd = camera_rays(self.scene.camera(), w, h,
                                          key=cam_key, jitter=True)
+                    if self._perm is not None:
+                        ro, rd = ro[self._perm], rd[self._perm]
                     if self._sharding is not None:
                         ro, rd = self._sharding.shard_rays(ro, rd)
                 else:
@@ -264,7 +275,10 @@ class RenderSession:
         out = self._out
         if self._sharding is not None:
             out = self._sharding.gather(out)
-        return np.asarray(out).reshape(h, w, nw)
+        out = np.asarray(out)
+        if self._inv_perm is not None:
+            out = out[self._inv_perm]
+        return out.reshape(h, w, nw)
 
     def stats(self) -> dict:
         s = self.samples
@@ -285,9 +299,12 @@ class RenderSession:
     def save_checkpoint(self, path: str) -> None:
         """Persist accumulator state for exact resume (the reference cannot:
         pause keeps it in RAM only, stop discards — SURVEY §5)."""
+        total = np.asarray(self._sharding.gather(self._total)
+                           if self._sharding else self._total)
+        if self._inv_perm is not None:
+            total = total[self._inv_perm]  # persist in scanline order
         np.savez(path,
-                 total=np.asarray(self._sharding.gather(self._total)
-                                  if self._sharding else self._total),
+                 total=total,
                  samples=np.asarray(self._samples),
                  sample_counter=self._sample_counter,
                  seed=self.seed,
@@ -302,7 +319,10 @@ class RenderSession:
             raise ValueError("checkpoint wavelength-count mismatch")
         if self._dirty:
             self._sync()
-        total = jnp.asarray(data["total"])
+        total_np = data["total"]
+        if self._perm is not None:
+            total_np = total_np[self._perm]
+        total = jnp.asarray(total_np)
         if self._sharding is not None:
             total = self._sharding.shard_accumulator(total)
         self._total = total

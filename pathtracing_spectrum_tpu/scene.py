@@ -65,7 +65,10 @@ class SceneData(NamedTuple):
     tri_consts: jnp.ndarray      # [T, 4] (v1.n, v2.K1, v1.K2, v1.K3)
 
     # packed per-triangle shading table (ops/shade_pack.py)
-    tri_shade: jnp.ndarray       # [T, BASE + 3*nw]
+    tri_shade: jnp.ndarray       # [T, BASE + 4*nw]
+
+    # cluster AABBs over BVH-ordered triangle runs (ops/intersect_pallas.py)
+    cluster_aabbs: jnp.ndarray   # [ceil(T/CLUSTER), 8]
 
     # materials [M, ...]
     mat_type: jnp.ndarray        # [M] int32
@@ -254,6 +257,19 @@ class Scene:
         self.objects[index].name = name
         self.modified = True
 
+    def rename_element(self, obj_id: int, element_id: int, name: str) -> None:
+        """Reference SetName(objId, elementId, ...) (previewer.cpp:913-929)."""
+        self.objects[obj_id].elements[element_id].name = name
+        self.modified = True
+
+    def set_highlight(self, obj_id: int, element_id: int,
+                      highlight: bool) -> None:
+        """Element highlight flag (previewer.cpp:842-878 GUI state)."""
+        self.objects[obj_id].elements[element_id].highlight = highlight
+
+    def select_object(self, index: int, selected: bool = True) -> None:
+        self.objects[index].is_selected = selected
+
     def set_material(self, obj_id: int, element_id: int, material: Material) -> None:
         """Assign material (reference SetMaterial, pathtracer.cpp:201-211)."""
         if obj_id >= len(self.objects):
@@ -422,6 +438,14 @@ class Scene:
             for mt in mats]).astype(np.float32) if nw else np.zeros(
                 (m, 0), np.float32)
 
+        from .ops.intersect_pallas import build_cluster_aabbs
+        v1d = soa.v1.astype(np.float64)
+        v2d = v1d + soa.e1
+        v3d = v1d + soa.e2
+        cl_aabbs = build_cluster_aabbs(
+            np.minimum(np.minimum(v1d, v2d), v3d).astype(np.float32),
+            np.maximum(np.maximum(v1d, v2d), v3d).astype(np.float32))
+
         from .ops.shade_pack import pack_shade_table
         tri_shade = pack_shade_table(soa, mat_type, mat_rr, mat_rough,
                                      mat_ntex, mat_rtex, mat_grid,
@@ -440,6 +464,7 @@ class Scene:
             tri_material=dev(soa.material_id),
             tri_k1=dev(k1), tri_k2=dev(k2), tri_k3=dev(k3),
             tri_consts=dev(consts), tri_shade=dev(tri_shade),
+            cluster_aabbs=dev(cl_aabbs),
             mat_type=dev(mat_type), mat_rr_prob=dev(mat_rr),
             mat_roughness=dev(mat_rough),
             mat_emissivity=dev(emis), mat_reflectivity=dev(refl),
