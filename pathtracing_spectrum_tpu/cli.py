@@ -77,6 +77,11 @@ def _build_parser() -> argparse.ArgumentParser:
     n = sub.add_parser("new", help="write an empty scene file")
     n.add_argument("scene")
 
+    pv = sub.add_parser("preview", help="headlight raster-style preview PNG")
+    pv.add_argument("scene")
+    pv.add_argument("--out", default="preview.png")
+    pv.add_argument("--res", default=None, help="override resolution WxH")
+
     imp = sub.add_parser("import", help="validate spectral txt inputs")
     imp.add_argument("kind", choices=["waves", "materials"])
     imp.add_argument("path")
@@ -236,6 +241,20 @@ def cmd_new(args) -> int:
     return 0
 
 
+def cmd_preview(args) -> int:
+    from PIL import Image as PILImage
+
+    from .preview import preview_render
+    from .utils import scene_io
+
+    scene = scene_io.load_scene(args.scene)
+    w, h = _parse_res(args.res) if args.res else scene.resolution
+    img = preview_render(scene, w, h)
+    PILImage.fromarray(img, mode="L").save(args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_import(args) -> int:
     from .utils import spectral_io
 
@@ -269,6 +288,7 @@ def main(argv=None) -> int:
         "info": cmd_info,
         "peek": cmd_peek,
         "new": cmd_new,
+        "preview": cmd_preview,
         "import": cmd_import,
         "bench": cmd_bench,
     }[args.cmd](args)

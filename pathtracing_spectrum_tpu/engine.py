@@ -98,8 +98,9 @@ class TraceResult(NamedTuple):
 
 
 def _norm3(x, y, z):
-    n = jnp.sqrt(x * x + y * y + z * z)
-    inv = jnp.where(n > 0, 1.0 / jnp.where(n > 0, n, 1.0), 0.0)
+    # rsqrt is a fast native VPU op; sqrt+divide chains profiled ~2 GB/s
+    s = x * x + y * y + z * z
+    inv = jnp.where(s > 0, jax.lax.rsqrt(jnp.where(s > 0, s, 1.0)), 0.0)
     return x * inv, y * inv, z * inv
 
 
@@ -138,7 +139,36 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
     tri16 = (pack_tri16(scene.tri_face_n, scene.tri_k1, scene.tri_k2,
                         scene.tri_k3, scene.tri_consts)
              if backend in ("dense_pallas", "cluster") else None)
-    shade_t = scene.tri_shade.T  # [F, T] — loop-invariant, hoisted by XLA
+
+    # ---- column-subset attribute fetch ----
+    # Only the attribute rows this configuration actually reads are fetched
+    # (barycentric alpha/beta now come from the intersection's s2/s3, so the
+    # geometry rows v1/e1/e2/d00/d01/d11 are never needed). The subset is
+    # static, so both the one-hot matmul and the gather shrink accordingly.
+    needed: list = []
+    sub: dict = {}
+
+    def want(name):
+        cols = lay[name]
+        sub[name] = slice(len(needed), len(needed) + cols.stop - cols.start)
+        needed.extend(range(cols.start, cols.stop))
+
+    for nm in ("uv1", "uv2", "uv3", "face_n", "n1", "n2", "n3", "smoothing",
+               "inv_denom", "mat_type", "rr_prob", "roughness",
+               "emissivity", "reflectivity"):
+        want(nm)
+    if has_tex:
+        for nm in ("tangent", "bitangent", "normal_tex", "roughness_tex"):
+            want(nm)
+    if has_grids:
+        for nm in ("eps_curve", "temp_grid"):
+            want(nm)
+    if dispersion and nw > 0:
+        want("ior_curve")
+
+    cols_idx = jnp.asarray(needed, jnp.int32)
+    shade_sub = scene.tri_shade[:, cols_idx]   # [T, F'] — hoisted
+    shade_sub_t = shade_sub.T                  # [F', T]
 
     def intersect(ox, oy, oz, dx, dy, dz):
         if backend == "dense_pallas":
@@ -159,23 +189,26 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                              leaf_size=leaf_size)
 
     def fetch_attrs_t(idx):
-        """[F, N] attribute planes for each ray's hit triangle."""
+        """[F', N] attribute planes for each ray's hit triangle."""
         if n_tris * n * 4 <= ONEHOT_FETCH_MAX_BYTES:
             onehot_t = (jnp.arange(n_tris, dtype=jnp.int32)[:, None]
                         == idx[None, :]).astype(jnp.float32)   # [T, N]
-            return jnp.dot(shade_t, onehot_t,
+            return jnp.dot(shade_sub_t, onehot_t,
                            preferred_element_type=jnp.float32)
-        return scene.tri_shade[idx].T
+        # barrier: otherwise XLA re-fuses this gather into each downstream
+        # fusion and runs it several times (profiled: 4x94 ms per sample at
+        # 1080p without it)
+        return jax.lax.optimization_barrier(shade_sub[idx].T)
 
     def row(attrs_t, name):
-        return attrs_t[lay[name].start]
+        return attrs_t[sub[name].start]
 
     def row3(attrs_t, name):
-        s = lay[name].start
+        s = sub[name].start
         return attrs_t[s], attrs_t[s + 1], attrs_t[s + 2]
 
     def rows(attrs_t, name):
-        return attrs_t[lay[name]]
+        return attrs_t[sub[name]]
 
     use_dispersion = dispersion and nw > 0
     if use_dispersion:
@@ -189,28 +222,22 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
          throughput_t, radiance_t, inside, alive, rays_traced) = state
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.int32))
 
-        hit, t, idx = intersect(rox, roy, roz, rdx, rdy, rdz)
+        hit, t, idx, s2, s3 = intersect(rox, roy, roz, rdx, rdy, rdz)
         hit = hit & alive
 
         attrs_t = fetch_attrs_t(idx)
 
-        # ---- hit geometry (barycentric alpha/beta, uv) ----
+        # ---- hit geometry ----
+        # alpha/beta directly from the intersection's same-side terms:
+        # s2 = (p-v1).K2 = alpha/invDenom, s3 = beta/invDenom (identical
+        # products to the reference's GetUV, pathtracer.cpp:394-405).
         px, py, pz = rox + t * rdx, roy + t * rdy, roz + t * rdz
-        v1x, v1y, v1z = row3(attrs_t, "v1")
-        e1x, e1y, e1z = row3(attrs_t, "e1")
-        e2x, e2y, e2z = row3(attrs_t, "e2")
-        wx, wy, wz = px - v1x, py - v1y, pz - v1z
-        d20 = wx * e1x + wy * e1y + wz * e1z
-        d21 = wx * e2x + wy * e2y + wz * e2z
         inv_denom = row(attrs_t, "inv_denom")
-        d00 = row(attrs_t, "d00")
-        d01 = row(attrs_t, "d01")
-        d11 = row(attrs_t, "d11")
-        alpha = (d11 * d20 - d01 * d21) * inv_denom
-        beta = (d00 * d21 - d01 * d20) * inv_denom
+        alpha = s2 * inv_denom
+        beta = s3 * inv_denom
         w0 = 1.0 - alpha - beta
 
-        s = lay["uv1"].start
+        s = sub["uv1"].start
         uvu = w0 * attrs_t[s] + alpha * attrs_t[s + 2] + beta * attrs_t[s + 4]
         uvv = (w0 * attrs_t[s + 1] + alpha * attrs_t[s + 3]
                + beta * attrs_t[s + 5])

@@ -161,12 +161,15 @@ def _leaf_hits(ro, rd, v1, e1, e2, n, valid):
 
     v2 = v1 + e1
     ba1 = e2 - e1
-    s1 = jnp.sum(jnp.cross(ba1, p - v2) * jnp.cross(ba1, -e1), axis=-1) >= 0.0
-    s2 = jnp.sum(jnp.cross(e2, p - v1) * jnp.cross(e2, e1), axis=-1) >= 0.0
-    s3 = jnp.sum(jnp.cross(e1, p - v1) * jnp.cross(e1, e2), axis=-1) >= 0.0
+    s1 = jnp.sum(jnp.cross(ba1, p - v2) * jnp.cross(ba1, -e1), axis=-1)
+    # s2/s3 double as barycentric numerators (alpha/beta = s * invDenom);
+    # see ops/intersect.py for the triple-product identity.
+    s2 = jnp.sum(jnp.cross(e2, p - v1) * jnp.cross(e2, e1), axis=-1)
+    s3 = jnp.sum(jnp.cross(e1, p - v1) * jnp.cross(e1, e2), axis=-1)
 
-    ok = valid & (denom != 0.0) & (tt >= 0.0) & s1 & s2 & s3
-    return jnp.where(ok, tt, BIG)
+    ok = (valid & (denom != 0.0) & (tt >= 0.0)
+          & (s1 >= 0.0) & (s2 >= 0.0) & (s3 >= 0.0))
+    return jnp.where(ok, tt, BIG), s2, s3
 
 
 def intersect_bvh(ro, rd,
@@ -175,7 +178,7 @@ def intersect_bvh(ro, rd,
                   leaf_size: int = 4):
     """Closest hit via lockstep skip-link traversal.
 
-    Returns (hit [N] bool, t [N], idx [N] int32 into the BVH-ordered SoA).
+    Returns (hit, t, idx, s2, s3) with idx into the BVH-ordered SoA.
     """
     n_rays = ro.shape[0]
     n_nodes = node_min.shape[0]
@@ -184,11 +187,11 @@ def intersect_bvh(ro, rd,
     lane = jnp.arange(leaf_size, dtype=jnp.int32)[None, :]
 
     def cond(state):
-        node, _, _ = state
+        node = state[0]
         return jnp.any(node < n_nodes)
 
     def body(state):
-        node, best_t, best_i = state
+        node, best_t, best_i, best_s2, best_s3 = state
         active = node < n_nodes
         nid = jnp.where(active, node, 0)
 
@@ -205,25 +208,26 @@ def intersect_bvh(ro, rd,
         do_leaf = box_hit & is_leaf
         tidx = jnp.clip(first[:, None] + lane, 0, n_tris - 1)
         valid = do_leaf[:, None] & (lane < count[:, None])
-        t = _leaf_hits(ro, rd, tri_v1[tidx],
-                       tri_e1[tidx], tri_e2[tidx], tri_n[tidx], valid)
+        t, s2, s3 = _leaf_hits(ro, rd, tri_v1[tidx],
+                               tri_e1[tidx], tri_e2[tidx], tri_n[tidx], valid)
         local = jnp.argmin(t, axis=1)
-        local_t = jnp.take_along_axis(t, local[:, None], axis=1)[:, 0]
+        pick = lambda a: jnp.take_along_axis(a, local[:, None], axis=1)[:, 0]
+        local_t = pick(t)
         better = local_t < best_t
-        best_i = jnp.where(better,
-                           jnp.take_along_axis(tidx, local[:, None], axis=1)[:, 0],
-                           best_i)
+        best_i = jnp.where(better, pick(tidx), best_i)
         best_t = jnp.where(better, local_t, best_t)
+        best_s2 = jnp.where(better, pick(s2), best_s2)
+        best_s3 = jnp.where(better, pick(s3), best_s3)
 
         # --- next node: descend on internal hit, else skip ---
         descend = box_hit & ~is_leaf
         nxt = jnp.where(descend, node + 1, skip)
         node = jnp.where(active, nxt, node)
-        return node, best_t, best_i
+        return node, best_t, best_i, best_s2, best_s3
 
-    node0 = jnp.zeros(n_rays, jnp.int32)
-    best_t0 = jnp.full(n_rays, BIG)
-    best_i0 = jnp.zeros(n_rays, jnp.int32)
-    node, best_t, best_i = jax.lax.while_loop(
-        cond, body, (node0, best_t0, best_i0))
-    return best_t < BIG, best_t, best_i
+    state0 = (jnp.zeros(n_rays, jnp.int32), jnp.full(n_rays, BIG),
+              jnp.zeros(n_rays, jnp.int32), jnp.zeros(n_rays, jnp.float32),
+              jnp.zeros(n_rays, jnp.float32))
+    node, best_t, best_i, best_s2, best_s3 = jax.lax.while_loop(
+        cond, body, state0)
+    return best_t < BIG, best_t, best_i, best_s2, best_s3

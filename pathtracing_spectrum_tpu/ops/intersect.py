@@ -99,7 +99,11 @@ def _chunk_hits(ro, rd, n, k1, k2, k3, consts):
 
     valid = ((denom != 0.0) & (t >= 0.0)
              & (s1 >= 0.0) & (s2 >= 0.0) & (s3 >= 0.0))
-    return jnp.where(valid, t, BIG)
+    # s2/s3 double as barycentric numerators: by the BAC-CAB expansion,
+    # K2 = e1*d11 - e2*d01 and K3 = e2*d00 - e1*d01, so
+    # (p - v1).K2 = alpha/invDenom and (p - v1).K3 = beta/invDenom —
+    # exactly the reference's GetUV dot products (pathtracer.cpp:394-405).
+    return jnp.where(valid, t, BIG), s2, s3
 
 
 def intersect_bruteforce(ro, rd, tri_n, tri_k1, tri_k2, tri_k3, tri_consts,
@@ -116,9 +120,11 @@ def intersect_bruteforce(ro, rd, tri_n, tri_k1, tri_k2, tri_k3, tri_consts,
     """
     n_rays = ro.shape[0]
     n_tris = tri_n.shape[0]
+
     if n_tris == 0:
+        z = jnp.zeros(n_rays, jnp.float32)
         return (jnp.zeros(n_rays, bool), jnp.full(n_rays, BIG),
-                jnp.zeros(n_rays, jnp.int32))
+                jnp.zeros(n_rays, jnp.int32), z, z)
 
     chunk = min(chunk, max(128, ((n_tris + 127) // 128) * 128))
     pad = (-n_tris) % chunk
@@ -130,26 +136,34 @@ def intersect_bruteforce(ro, rd, tri_n, tri_k1, tri_k2, tri_k3, tri_consts,
             [tri_consts, jnp.zeros((pad, 4), tri_consts.dtype)], axis=0)
     n_chunks = (n_tris + pad) // chunk
 
+    def fold(carry, t, s2, s3, offset):
+        best_t, best_i, best_s2, best_s3 = carry
+        local_i = jnp.argmin(t, axis=1)
+        pick = lambda a: jnp.take_along_axis(a, local_i[:, None], axis=1)[:, 0]
+        local_t = pick(t)
+        better = local_t < best_t
+        best_i = jnp.where(better, offset + local_i.astype(jnp.int32), best_i)
+        best_t = jnp.where(better, local_t, best_t)
+        best_s2 = jnp.where(better, pick(s2), best_s2)
+        best_s3 = jnp.where(better, pick(s3), best_s3)
+        return best_t, best_i, best_s2, best_s3
+
+    init = (jnp.full(n_rays, BIG), jnp.zeros(n_rays, jnp.int32),
+            jnp.zeros(n_rays, jnp.float32), jnp.zeros(n_rays, jnp.float32))
+
     if n_chunks == 1:
-        t = _chunk_hits(ro, rd, tri_n, tri_k1, tri_k2, tri_k3, tri_consts)
-        best_i = jnp.argmin(t, axis=1).astype(jnp.int32)
-        best_t = jnp.take_along_axis(t, best_i[:, None], axis=1)[:, 0]
-        return best_t < BIG, best_t, best_i
+        t, s2, s3 = _chunk_hits(ro, rd, tri_n, tri_k1, tri_k2, tri_k3,
+                                tri_consts)
+        best_t, best_i, best_s2, best_s3 = fold(init, t, s2, s3, 0)
+        return best_t < BIG, best_t, best_i, best_s2, best_s3
 
     def body(c, carry):
-        best_t, best_i = carry
         s = c * chunk
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s, chunk)
-        t = _chunk_hits(ro, rd, sl(tri_n), sl(tri_k1), sl(tri_k2),
-                        sl(tri_k3), sl(tri_consts))
-        local_i = jnp.argmin(t, axis=1)
-        local_t = jnp.take_along_axis(t, local_i[:, None], axis=1)[:, 0]
-        better = local_t < best_t
-        best_i = jnp.where(better, s + local_i.astype(jnp.int32), best_i)
-        best_t = jnp.where(better, local_t, best_t)
-        return best_t, best_i
+        t, s2, s3 = _chunk_hits(ro, rd, sl(tri_n), sl(tri_k1), sl(tri_k2),
+                                sl(tri_k3), sl(tri_consts))
+        return fold(carry, t, s2, s3, s)
 
-    best_t = jnp.full(n_rays, BIG)
-    best_i = jnp.zeros(n_rays, jnp.int32)
-    best_t, best_i = jax.lax.fori_loop(0, n_chunks, body, (best_t, best_i))
-    return best_t < BIG, best_t, best_i
+    best_t, best_i, best_s2, best_s3 = jax.lax.fori_loop(
+        0, n_chunks, body, init)
+    return best_t < BIG, best_t, best_i, best_s2, best_s3

