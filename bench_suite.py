@@ -46,7 +46,7 @@ def _session(scene, **kw):
 
 def _timed_spp(session, spp, batch=16):
     session.start()
-    session.step(1)  # compile
+    session.step(min(batch, spp))  # compile the exact batch variant
     session.restart()
     t0 = time.perf_counter()
     done = 0
