@@ -12,12 +12,17 @@ import os
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def quad(f, a, b, c, d, vbase):
-    """Two CCW triangles for quad a-b-c-d; returns new vertex base."""
+def quad(f, a, b, c, d, vbase, tbase=None):
+    """Two CCW triangles for quad a-b-c-d (with unit-square UVs);
+    returns new vertex base."""
     for v in (a, b, c, d):
         f.write(f"v {v[0]} {v[1]} {v[2]}\n")
-    f.write(f"f {vbase} {vbase+1} {vbase+2}\n")
-    f.write(f"f {vbase} {vbase+2} {vbase+3}\n")
+    if tbase is None:
+        tbase = vbase
+    for uv in ((0, 0), (1, 0), (1, 1), (0, 1)):
+        f.write(f"vt {uv[0]} {uv[1]}\n")
+    f.write(f"f {vbase}/{tbase} {vbase+1}/{tbase+1} {vbase+2}/{tbase+2}\n")
+    f.write(f"f {vbase}/{tbase} {vbase+2}/{tbase+2} {vbase+3}/{tbase+3}\n")
     return vbase + 4
 
 

@@ -77,6 +77,7 @@ class RenderSession:
 
         self._scene_data: Optional[SceneData] = None
         self._dirty = True
+        self._synced_version = -1
         self._total = None
         self._samples = None
         self._out = None
@@ -119,6 +120,7 @@ class RenderSession:
         return resolve_backend(self._backend, n_tris)
 
     def _sync(self) -> None:
+        self._synced_version = self.scene.version
         self._scene_data = self.scene.compile()
         w, h = self.resolution
         cam = self.scene.camera()
@@ -150,6 +152,10 @@ class RenderSession:
 
     # -- state machine --------------------------------------------------------
     def start(self) -> None:
+        # the reference re-syncs the full scene on every start edge
+        # (main.cpp:4010-4027); we re-sync when the scene graph has mutated
+        if self.scene.version != self._synced_version:
+            self._dirty = True
         if self.status == RenderStatus.PAUSED and not self._dirty:
             self.status = RenderStatus.RENDERING
             return

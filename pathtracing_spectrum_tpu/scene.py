@@ -200,6 +200,7 @@ class Scene:
         self.camera_fovy: float = 90.0
         self.file_path: str = ""
         self.modified: bool = False
+        self.version: int = 0  # bumped on every mutation (session resync key)
         self._mesh_cache: Dict[str, obj_loader.ObjMesh] = {}
 
     # -- camera (previewer.cpp:740-829) -------------------------------------
@@ -214,6 +215,7 @@ class Scene:
             self.camera_rotation = np.asarray(
                 transforms.normalize_rotation(tuple(rotation_deg)), np.float32)
         self.modified = True
+        self.version += 1
 
     # -- object management (previewer.cpp:294-946) ---------------------------
     def load_object(self, path: str, name: Optional[str] = None) -> SceneObject:
@@ -230,6 +232,7 @@ class Scene:
             obj.elements.append(SceneElement(name=shape.name))
         self.objects.append(obj)
         self.modified = True
+        self.version += 1
         return obj
 
     def _load_mesh(self, path: str) -> obj_loader.ObjMesh:
@@ -242,6 +245,7 @@ class Scene:
     def delete_selected_objects(self) -> None:
         self.objects = [o for o in self.objects if not o.is_selected]
         self.modified = True
+        self.version += 1
 
     def replace_object(self, index: int, path: str) -> None:
         """Replace mesh, keep transform (previewer.cpp:895-911)."""
@@ -252,15 +256,18 @@ class Scene:
             old._location, old._rotation, old._scale)
         self.objects[index] = new
         self.modified = True
+        self.version += 1
 
     def rename_object(self, index: int, name: str) -> None:
         self.objects[index].name = name
         self.modified = True
+        self.version += 1
 
     def rename_element(self, obj_id: int, element_id: int, name: str) -> None:
         """Reference SetName(objId, elementId, ...) (previewer.cpp:913-929)."""
         self.objects[obj_id].elements[element_id].name = name
         self.modified = True
+        self.version += 1
 
     def set_highlight(self, obj_id: int, element_id: int,
                       highlight: bool) -> None:
@@ -271,13 +278,56 @@ class Scene:
         self.objects[index].is_selected = selected
 
     def set_material(self, obj_id: int, element_id: int, material: Material) -> None:
-        """Assign material (reference SetMaterial, pathtracer.cpp:201-211)."""
+        """Assign material (reference SetMaterial, pathtracer.cpp:201-211).
+
+        Quirk parity: the existing normal-texture binding survives material
+        replacement (the reference copies ``normalTexId`` across,
+        pathtracer.cpp:208); all other texture bindings travel with the
+        material. Use ``set_normal_texture`` to change it.
+        """
         if obj_id >= len(self.objects):
             return
         if element_id >= len(self.objects[obj_id].elements):
             return
-        self.objects[obj_id].elements[element_id].material = material.copy()
+        el = self.objects[obj_id].elements[element_id]
+        keep_normal_tex = el.material.normal_tex_file
+        el.material = material.copy()
+        el.material.normal_tex_file = keep_normal_tex
         self.modified = True
+        self.version += 1
+
+    # -- texture binding (reference Set*TextureForElement,
+    #    pathtracer.cpp:152-198, previewer push at previewer.cpp:707-738) ----
+    def _element_material(self, obj_id: int, element_id: int):
+        return self.objects[obj_id].elements[element_id].material
+
+    def set_normal_texture(self, obj_id: int, element_id: int,
+                           path: str) -> None:
+        self._element_material(obj_id, element_id).normal_tex_file = path
+        self.modified = True
+        self.version += 1
+
+    def set_roughness_texture(self, obj_id: int, element_id: int,
+                              path: str) -> None:
+        self._element_material(obj_id, element_id).roughness_tex_file = path
+        self.modified = True
+        self.version += 1
+
+    def set_temperature_texture(self, obj_id: int, element_id: int,
+                                path: str) -> None:
+        """Parity: carried but never sampled by the tracer (the reference
+        declares temperatureTexId and reads the ASCII grid instead)."""
+        self._element_material(obj_id, element_id).temperature_tex_file = path
+        self.modified = True
+        self.version += 1
+
+    def set_temperature_data(self, obj_id: int, element_id: int,
+                             path: str) -> None:
+        """ASCII temperature grid (reference SetTemperatureDataForElement,
+        pathtracer.cpp:192-198)."""
+        self._element_material(obj_id, element_id).temperature_data_file = path
+        self.modified = True
+        self.version += 1
 
     def clear(self) -> None:
         """Reset to defaults (main.cpp:342-365)."""

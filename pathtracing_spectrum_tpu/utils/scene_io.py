@@ -305,13 +305,16 @@ def load_scene(path: str, scene=None,
             m.type = MaterialType(r.read_int())
             m.roughness = r.read_float()
             r.read_line()
-            m.normal_tex_file = r.read_line()
+            normal_tex = r.read_line()
             m.spectrum_mat_id = r.read_int()
             m.temperature = r.read_float()
             r.read_line()
             m.temperature_tex_file = r.read_line()
             if j < len(obj.elements):
                 obj.elements[j].name = el_name
+                # texture binding precedes SetMaterial, which preserves it
+                # (reference order at main.cpp:595-606)
+                scene.set_normal_texture(i, j, normal_tex)
                 scene.set_material(i, j, m)
 
     scene.file_path = universal_path(path)
