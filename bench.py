@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main():
@@ -35,33 +36,41 @@ def main():
     key = jax.random.key(0)
 
     backend = os.environ.get("PTS_BENCH_BACKEND", "auto")
-    n_steps = int(os.environ.get("PTS_BENCH_STEPS", "64"))
+    n_steps = int(os.environ.get("PTS_BENCH_STEPS", "256"))
 
-    total = jnp.zeros((w * h, nw), jnp.float32)
-    samples = jnp.zeros((), jnp.int32)
+    # MEASUREMENT SAFETY on the tunneled TPU: the axon relay memoizes
+    # repeated executions (keyed at least partly on input buffers), so
+    # min-of-reps timing can report fantasy numbers. Instead: ONE large
+    # timed dispatch (256 samples chained inside the executable — nothing
+    # repeats), with a distinct PRNG key from the warmup, both keys held
+    # alive so their buffers cannot alias. A sanity ceiling guards against
+    # any remaining caching.
+    def fresh(tag):
+        return (jnp.full((w * h, nw), np.float32(tag) * 1e-30, jnp.float32),
+                jnp.zeros((), jnp.int32))
 
-    # warmup / compile (the whole multi-sample batch is ONE dispatch — launch
-    # latency on a tunneled TPU would otherwise dominate)
+    keys = [jax.random.fold_in(key, i) for i in range(4)]
+
+    total, samples = fresh(1)
     total, samples, out, nrays = render_samples(
-        scene, ro, rd, total, samples, key, 0, n_steps=n_steps,
+        scene, ro, rd, total, samples, keys[0], 0, n_steps=n_steps,
         max_depth=depth, backend=backend)
     jax.block_until_ready(out)
     rays = int(nrays)
 
-    # timed steady-state: best of 3 batches (tunnel latency is noisy).
-    # IMPORTANT: every batch continues the accumulation with a fresh sample
-    # counter — identical dispatches would be memoized by the axon relay and
-    # report fantasy numbers.
-    best = float("inf")
-    for rep in range(1, 4):
+    results = []
+    for rep in (1, 2, 3):
+        total, samples = fresh(rep + 1)
         t0 = time.perf_counter()
-        total, samples, out, nrays = render_samples(
-            scene, ro, rd, total, samples, key, rep * n_steps,
-            n_steps=n_steps, max_depth=depth, backend=backend)
+        total, samples, out, _ = render_samples(
+            scene, ro, rd, total, samples, keys[rep], 0, n_steps=n_steps,
+            max_depth=depth, backend=backend)
         jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-
-    mrays = rays / best / 1e6
+        dt = time.perf_counter() - t0
+        m = rays / dt / 1e6
+        if m < 5000.0:  # single-chip physical sanity ceiling
+            results.append(m)
+    mrays = max(results) if results else float("nan")
     print(json.dumps({
         "metric": "Mrays/sec/chip (Cornell box 512x512, 4-wave spectral, depth 3)",
         "value": round(mrays, 2),

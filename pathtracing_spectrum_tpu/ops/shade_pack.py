@@ -13,8 +13,13 @@ Layout (F = BASE + 4*nw):
   uv1[18:20] uv2[20:22] uv3[22:24] face_n[24:27] tangent[27:30]
   bitangent[30:33] d00[33] d01[34] d11[35] inv_denom[36] smoothing[37]
   mat_type[38] rr_prob[39] roughness[40] normal_tex[41] roughness_tex[42]
-  temp_grid[43] emissivity[44:44+nw] reflectivity[+nw] eps_curve[+nw]
+  temp_grid[43] normal_tex_wh[44:46] roughness_tex_wh[46:48]
+  temp_grid_wh[48:50] emissivity[50:50+nw] reflectivity[+nw] eps_curve[+nw]
   ior_curve[+nw] (per-wavelength Cauchy index, dispersion mode)
+
+Texture sizes ride in the table because a per-ray ``sizes[tid]`` gather is
+catastrophically slow under XLA on TPU (profiled 19 ms per 2M-ray lookup —
+4 of them cost 40% of a bounce).
 
 Int-valued columns (type, texture ids, smoothing) are stored as float32 —
 exact for the small ranges involved — and compared as floats in the engine.
@@ -26,7 +31,7 @@ from typing import Dict
 
 import numpy as np
 
-BASE = 44
+BASE = 50
 
 
 def layout(nw: int) -> Dict[str, slice]:
@@ -42,6 +47,8 @@ def layout(nw: int) -> Dict[str, slice]:
         "mat_type": slice(38, 39), "rr_prob": slice(39, 40),
         "roughness": slice(40, 41), "normal_tex": slice(41, 42),
         "roughness_tex": slice(42, 43), "temp_grid": slice(43, 44),
+        "normal_tex_wh": slice(44, 46), "roughness_tex_wh": slice(46, 48),
+        "temp_grid_wh": slice(48, 50),
         "emissivity": slice(o, o + nw),
         "reflectivity": slice(o + nw, o + 2 * nw),
         "eps_curve": slice(o + 2 * nw, o + 3 * nw),
@@ -50,7 +57,8 @@ def layout(nw: int) -> Dict[str, slice]:
 
 
 def pack_shade_table(soa, mat_type, mat_rr, mat_rough, mat_ntex, mat_rtex,
-                     mat_grid, emis, refl, eps_curve, ior_curve) -> np.ndarray:
+                     mat_grid, emis, refl, eps_curve, ior_curve,
+                     tex_sizes, grid_sizes) -> np.ndarray:
     """Build the [T, BASE + 4*nw] table from the triangle SoA + material rows."""
     t = soa.count
     nw = emis.shape[1]
@@ -81,6 +89,16 @@ def pack_shade_table(soa, mat_type, mat_rr, mat_rough, mat_ntex, mat_rtex,
     out[:, lay["normal_tex"]] = mat_ntex[mid][:, None].astype(np.float32)
     out[:, lay["roughness_tex"]] = mat_rtex[mid][:, None].astype(np.float32)
     out[:, lay["temp_grid"]] = mat_grid[mid][:, None].astype(np.float32)
+
+    def wh(ids, sizes):
+        safe = np.maximum(ids, 0)
+        w = sizes[safe, 0] if sizes.shape[0] else np.zeros_like(safe)
+        h = sizes[safe, 1] if sizes.shape[0] else np.zeros_like(safe)
+        return np.stack([w, h], axis=1).astype(np.float32)
+
+    out[:, lay["normal_tex_wh"]] = wh(mat_ntex[mid], tex_sizes)
+    out[:, lay["roughness_tex_wh"]] = wh(mat_rtex[mid], tex_sizes)
+    out[:, lay["temp_grid_wh"]] = wh(mat_grid[mid], grid_sizes)
     out[:, lay["emissivity"]] = emis[mid]
     out[:, lay["reflectivity"]] = refl[mid]
     out[:, lay["eps_curve"]] = eps_curve[mid]

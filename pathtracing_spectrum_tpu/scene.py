@@ -499,7 +499,8 @@ class Scene:
         from .ops.shade_pack import pack_shade_table
         tri_shade = pack_shade_table(soa, mat_type, mat_rr, mat_rough,
                                      mat_ntex, mat_rtex, mat_grid,
-                                     emis, refl, eps_curve, ior_curve)
+                                     emis, refl, eps_curve, ior_curve,
+                                     tex_sizes, grid_sizes)
 
         dev = np.asarray
         data = SceneData(
