@@ -71,3 +71,21 @@ def test_bvh_backend_parity():
     got, want = run_parity(lambda: cornell_scene(sky=True), depth=2,
                            backend="bvh", seed=9)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
+
+
+def test_temperature_grid_parity(tmp_path):
+    """Per-hit temperature re-bake (incl. the RR-kill baked-emissivity quirk)
+    against the oracle with shared variates."""
+    # 3-wide grid: texel boundaries at 1/3 and 2/3 never coincide with the
+    # pixel-corner uv lattice (k/8), so fp-order can't flip a texel choice
+    grid = tmp_path / "grid.txt"
+    grid.write_text("100 300 -50\n-50 700 250\n20 400 90\n")
+
+    def builder():
+        sc = cornell_scene(sky=True)
+        sc.set_temperature_data(0, 2, str(grid))  # back wall (has UVs)
+        sc.set_temperature_data(0, 0, str(grid))  # floor
+        return sc
+
+    got, want = run_parity(builder, depth=3, n_pix=8, seed=21)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
