@@ -55,6 +55,7 @@ def _timed_spp(session, spp, batch=16):
     """
     session.start()
     session.step(min(batch, spp))  # compile + warm, counters advance
+    rays0 = session.rays_traced
     t0 = time.perf_counter()
     done = 0
     while done < spp:
@@ -62,7 +63,9 @@ def _timed_spp(session, spp, batch=16):
         session.step(n)
         done += n
     dt = time.perf_counter() - t0
-    return dt, session.stats()
+    st = session.stats()
+    st["mrays_per_s"] = (session.rays_traced - rays0) / dt / 1e6
+    return dt, st
 
 
 def cornell_scene(res, depth, block_types=("DIFFUSE", "DIFFUSE")):
@@ -99,7 +102,7 @@ def config1_cornell():
     report("cornell_512_diffuse_64spp",
            spp=64, seconds=round(dt, 3),
            spp_per_sec=round(64 / dt, 2),
-           mrays_per_sec=round(st["rays_traced"] / s.elapsed / 1e6, 1))
+           mrays_per_sec=round(st["mrays_per_s"], 1))
 
     # RMSE gate vs CPU reference implementation, equal spp + seed
     ref_npy = os.path.join(tempfile.gettempdir(), "pts_ref_cpu.npy")
@@ -157,7 +160,7 @@ def config2_dispersion():
     dt, st = _timed_spp(s, 32)
     report("dispersion_prism_512_32spp", spp=32, seconds=round(dt, 3),
            spp_per_sec=round(32 / dt, 2),
-           mrays_per_sec=round(st["rays_traced"] / s.elapsed / 1e6, 1))
+           mrays_per_sec=round(st["mrays_per_s"], 1))
 
 
 def textured_sphere_scene(res):
@@ -193,7 +196,7 @@ def config3_textured_1080p():
     report("textured_sphere_1080p", spp=16, seconds=round(dt, 3),
            spp_per_sec_1080p=round(16 / dt, 3),
            triangles=st["triangles"],
-           mrays_per_sec=round(st["rays_traced"] / s.elapsed / 1e6, 1))
+           mrays_per_sec=round(st["mrays_per_s"], 1))
 
 
 def config4_mixed_depth8():
@@ -203,7 +206,7 @@ def config4_mixed_depth8():
     dt, st = _timed_spp(s, spp, batch=64)
     report("mixed_material_depth8", spp=spp, seconds=round(dt, 3),
            spp_per_sec=round(spp / dt, 2),
-           mrays_per_sec=round(st["rays_traced"] / s.elapsed / 1e6, 1))
+           mrays_per_sec=round(st["mrays_per_s"], 1))
 
 
 def config5_multichip_4k():
@@ -215,7 +218,7 @@ def config5_multichip_4k():
     dt, st = _timed_spp(s, 4, batch=2)
     report("multichip_4k_tiled", devices=n_dev, spp=4, seconds=round(dt, 3),
            spp_per_sec_4k=round(4 / dt, 3),
-           mrays_per_sec_total=round(st["rays_traced"] / s.elapsed / 1e6, 1))
+           mrays_per_sec_total=round(st["mrays_per_s"], 1))
 
 
 def main():

@@ -124,6 +124,19 @@ class SppAllreduce:
                                    samples, key, max_depth, backend,
                                    dispersion)
 
+    def render_samples(self, scene_data, ro, rd, total, samples, base_key,
+                       counter0, n_steps, max_depth, backend="auto",
+                       dispersion=False):
+        """Batched: ONE dispatch adds n_steps * n_devices samples.
+
+        Device d's sample i uses ``fold_in(fold_in(base_key, counter0+i), d)``
+        so streams stay disjoint across both axes and resume is exact.
+        """
+        scene_data = jax.device_put(scene_data, replicated(self.mesh))
+        return _spp_allreduce_steps(self.mesh, scene_data, ro, rd, total,
+                                    samples, base_key, counter0, n_steps,
+                                    max_depth, backend, dispersion)
+
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "max_depth", "backend",
@@ -150,5 +163,43 @@ def _spp_allreduce_step(mesh, scene_data, ro, rd, total, samples, key,
 
     total = total + rad
     samples = samples + mesh.size
+    out = total / samples.astype(jnp.float32)
+    return total, samples, out, nrays
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "n_steps", "max_depth",
+                                    "backend", "dispersion"),
+                   donate_argnums=(4,))
+def _spp_allreduce_steps(mesh, scene_data, ro, rd, total, samples, base_key,
+                         counter0, n_steps, max_depth, backend,
+                         dispersion=False):
+    def device_fn(scene, o, d, k0, c0):
+        dev = jax.lax.axis_index(TILE_AXIS)
+
+        def body(i, carry):
+            rad_acc, rays = carry
+            k = jax.random.fold_in(jax.random.fold_in(k0, c0 + i), dev)
+            res = trace_radiance(scene, o, d, k, max_depth, backend,
+                                 dispersion=dispersion)
+            return rad_acc + res.radiance, rays + res.rays_traced
+
+        rad_acc, rays = jax.lax.fori_loop(
+            0, n_steps, body,
+            (jnp.zeros((o.shape[0], scene.sky.shape[0]), jnp.float32),
+             jnp.zeros((), jnp.int32)))
+        return (jax.lax.psum(rad_acc, TILE_AXIS),
+                jax.lax.psum(rays, TILE_AXIS))
+
+    rep_scene = jax.tree.map(lambda _: P(), scene_data)
+    rad, nrays = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(rep_scene, P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(scene_data, ro, rd, base_key, counter0)
+
+    total = total + rad
+    samples = samples + n_steps * mesh.size
     out = total / samples.astype(jnp.float32)
     return total, samples, out, nrays

@@ -78,6 +78,36 @@ def test_spp_allreduce_step(eight_devices):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_spp_allreduce_batched(eight_devices):
+    """Batched spp-allreduce: one dispatch = n_steps * n_devices samples,
+    matching the per-device single-chip streams."""
+    sc = cornell_scene(depth=2, res=(8, 8))
+    scene = sc.compile()
+    w, h = sc.resolution
+    ro, rd = camera_rays(sc.camera(), w, h)
+    key = jax.random.key(9)
+    n = w * h
+
+    sa = SppAllreduce(make_mesh(eight_devices))
+    ro_s, rd_s = sa.shard_rays(ro, rd)
+    total = sa.zeros_accumulator(n, 4)
+    samples = jnp.zeros((), jnp.int32)
+    t, s, out, nrays = sa.render_samples(scene, ro_s, rd_s, total, samples,
+                                         key, 0, n_steps=3, max_depth=2,
+                                         backend="dense")
+    assert int(s) == 24  # 3 steps x 8 devices
+
+    from pathtracing_spectrum_tpu.engine import trace_radiance
+    acc = np.zeros((n, 4), np.float32)
+    for i in range(3):
+        for dev in range(8):
+            k = jax.random.fold_in(jax.random.fold_in(key, i), dev)
+            acc += np.asarray(trace_radiance(scene, ro, rd, k, 2,
+                                             backend="dense").radiance)
+    np.testing.assert_allclose(np.asarray(out), acc / 24.0,
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_session_with_tile_sharding(eight_devices):
     sc = cornell_scene(depth=2, res=(8, 8))
     base = RenderSession(sc, backend="dense", seed=1).run(target_spp=2)
