@@ -58,11 +58,10 @@ from .scene import SceneData
 from .ops import planck, sampling
 from .ops.shade_pack import layout as shade_layout
 from .ops.intersect import intersect_bruteforce
-from .ops.intersect_pallas import (build_cluster_aabbs,
-                                   intersect_clustered_pallas_soa,
+from .ops.intersect_pallas import (intersect_clustered_pallas_soa,
                                    intersect_dense_pallas_soa, pack_tri16)
 from .ops.bvh import intersect_bvh
-from .ops.texturing import sample_nearest, sample_nearest_wh
+from .ops.texturing import sample_nearest_wh
 
 # One-hot MXU fetch while the [T, N] one-hot stays under this many bytes;
 # single packed gather above (the one-hot would blow HBM for big scenes).

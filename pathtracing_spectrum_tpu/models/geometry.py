@@ -23,7 +23,7 @@ tangent/bitangent, unit face normal from cross(e1, e2).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 
 class MaterialType(enum.IntEnum):

@@ -24,7 +24,6 @@ boolean-only, no t-range pruning, miss iff ``tNear >= tFar``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

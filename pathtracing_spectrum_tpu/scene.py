@@ -21,8 +21,7 @@ from typing import Dict, List, NamedTuple, Optional, Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from .constants import EPS
-from .models.materials import Material, MaterialType, SpectrumMaterial
+from .models.materials import Material, SpectrumMaterial
 from .models import transforms
 from .models.geometry import TriangleSoA, build_triangle_soa, empty_soa
 from .models.camera import Camera

@@ -17,7 +17,6 @@ Reference behaviours (main.cpp:217-338, 951-1023):
 
 from __future__ import annotations
 
-import math
 import time
 from typing import List, Optional
 

@@ -11,8 +11,6 @@ conversion, PNG export, and a terminal ASCII preview. Values are clamped to
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 
