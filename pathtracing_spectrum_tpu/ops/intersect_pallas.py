@@ -31,7 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 3.0e38  # python float: jnp scalars would be captured consts in the kernel
 
 _LANES = 128
-_RB = 8  # ray rows (of 128 lanes) per grid step
+# Ray rows (of 128 lanes) per grid step. The dense kernel wants large
+# blocks (fewer grid steps, tri chunk reused across more rays: 8->64 rows
+# measured +8% on the Cornell headline, plateau at 128); the cluster kernel
+# wants small ones (a 1024-ray block is a compact screen tile, and culling
+# granularity degrades with block size).
+_RB_DENSE = 64
+_RB = 8
 
 
 def _kernel(ray_ref, tri_ref, best_t_ref, best_i_ref, *, chunk, rows):
@@ -111,7 +117,7 @@ def intersect_dense_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
     n = rox.shape[0]
     t_count = tri_pack.shape[0]
 
-    block = _RB * _LANES
+    block = _RB_DENSE * _LANES
     pad_n = (-n) % block
     comps = (rox, roy, roz, rdx, rdy, rdz)
     if pad_n:
@@ -130,17 +136,17 @@ def intersect_dense_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
             [tri_pack, jnp.zeros((pad_t, 16), tri_pack.dtype)])
     n_chunks = (t_count + pad_t) // c
 
-    grid = (rows_total // _RB, n_chunks)
-    out_spec = pl.BlockSpec((_RB, _LANES), lambda i, j: (i, 0),
+    grid = (rows_total // _RB_DENSE, n_chunks)
+    out_spec = pl.BlockSpec((_RB_DENSE, _LANES), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     # NOTE: no s2/s3 outputs here — the per-chunk winner selection costs
     # ~12% on small scenes (measured on the Cornell headline); the engine
     # computes barycentrics from fetched attrs for this backend instead.
     best_t, best_i = pl.pallas_call(
-        functools.partial(_kernel, chunk=c, rows=_RB),
+        functools.partial(_kernel, chunk=c, rows=_RB_DENSE),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((6, _RB, _LANES), lambda i, j: (0, i, 0),
+            pl.BlockSpec((6, _RB_DENSE, _LANES), lambda i, j: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 16), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
