@@ -54,13 +54,13 @@ def _timed_spp(session, spp, batch=16):
     work; the timed region covers samples batch..batch+spp.
     """
     session.start()
-    session.step(min(batch, spp))  # compile + warm, counters advance
+    session.step(min(batch, spp), readback=False)  # compile + warm
     rays0 = session.rays_traced
     t0 = time.perf_counter()
     done = 0
     while done < spp:
         n = min(batch, spp - done)
-        session.step(n)
+        session.step(n, readback=False)
         done += n
     dt = time.perf_counter() - t0
     st = session.stats()
@@ -214,10 +214,13 @@ def config5_multichip_4k():
     from pathtracing_spectrum_tpu.parallel.tiling import TileSharding
     n_dev = len(jax.devices())
     sc = cornell_scene((3840, 2160), 3)
-    s = _session(sc, sharding=TileSharding(make_mesh()))
-    dt, st = _timed_spp(s, 4, batch=2)
+    # the TileSharding wrapper only earns its overhead with >1 chip; on a
+    # single chip report the plain path (identical math, no tiling wrapper)
+    sharding = TileSharding(make_mesh()) if n_dev > 1 else None
+    s = _session(sc, sharding=sharding)
+    dt, st = _timed_spp(s, 4, batch=4)
     report("multichip_4k_tiled", devices=n_dev, spp=4, seconds=round(dt, 3),
-           spp_per_sec_4k=round(4 / dt, 3),
+           tiled=bool(sharding), spp_per_sec_4k=round(4 / dt, 3),
            mrays_per_sec_total=round(st["mrays_per_s"], 1))
 
 

@@ -147,7 +147,7 @@ def cmd_render(args) -> int:
         last_ck = session.samples
         while session.samples < target:
             n = min(args.batch, target - session.samples)
-            session.step(n)
+            session.step(n, readback=False)
             if (args.checkpoint and args.checkpoint_every
                     and session.samples - last_ck >= args.checkpoint_every):
                 session.save_checkpoint(args.checkpoint)

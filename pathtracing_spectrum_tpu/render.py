@@ -127,10 +127,13 @@ class RenderSession:
         self._ro, self._rd = camera_rays(cam, w, h)
         if self._tile_ordering:
             # compact 32x32 screen tiles per ray block: cluster-AABB culling
-            # in the intersection kernel needs spatially coherent blocks
+            # in the intersection kernel needs spatially coherent blocks.
+            # Permute on the HOST: a device-gather result carries a gather
+            # layout into the jit signature (measured 6x slower steps and a
+            # 20x longer compile at 4K).
             self._perm, self._inv_perm = tile_order(w, h)
-            self._ro = self._ro[self._perm]
-            self._rd = self._rd[self._perm]
+            self._ro = jnp.asarray(np.asarray(self._ro)[self._perm])
+            self._rd = jnp.asarray(np.asarray(self._rd)[self._perm])
         if self._sharding is not None:
             self._ro, self._rd = self._sharding.shard_rays(self._ro, self._rd)
         self._dirty = False
@@ -184,9 +187,11 @@ class RenderSession:
         self.status = RenderStatus.RENDERING
 
     # -- rendering -------------------------------------------------------------
-    def step(self, n_samples: int = 1) -> np.ndarray:
+    def step(self, n_samples: int = 1, readback: bool = True):
         """Render n progressive samples synchronously; returns the running
-        mean as [H, W, nw]."""
+        mean as [H, W, nw] (or None with ``readback=False`` — at 4K the
+        device->host transfer + unpermute costs more than the render on a
+        tunneled chip; call ``result()`` when you actually need pixels)."""
         if self.status != RenderStatus.RENDERING:
             self.start()
         t0 = time.monotonic()
@@ -230,7 +235,7 @@ class RenderSession:
         dt = time.monotonic() - t0
         self.elapsed += dt
         self.last_sample_time = dt / max(n_samples, 1)
-        return self.result()
+        return self.result() if readback else None
 
     def run(self, target_spp: Optional[int] = None) -> np.ndarray:
         """Render until target spp, then auto-pause (main.cpp:4057-4061)."""
