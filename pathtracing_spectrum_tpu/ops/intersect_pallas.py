@@ -184,8 +184,8 @@ def pack_tri16(tri_n, tri_k1, tri_k2, tri_k3, tri_consts):
 # blocks cull the vast majority of clusters.
 # ---------------------------------------------------------------------------
 
-CLUSTER = 64          # triangles per cluster (one AABB each)
-_KC = 16              # clusters per grid step (tri block = KC*CLUSTER rows)
+CLUSTER = 128          # triangles per cluster (one AABB each)
+_KC = 8              # clusters per grid step (tri block = KC*CLUSTER rows)
 
 
 def build_cluster_aabbs(tri_min, tri_max, cluster: int = CLUSTER):
