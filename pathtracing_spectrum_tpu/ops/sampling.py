@@ -14,9 +14,13 @@ Reference quirks preserved deliberately:
   tangent frame picks ``u = cross((1,0,0), n)`` unless ``|n.x| >= 1 - EPS``
   where it falls back to ``cross((1,1,1), n)``.
 * GLOSSY (pathtracer.cpp:481-490): same construction around the mirror
-  direction with ``w ~ U[0,1) * roughness``; the fallback threshold uses
-  FLT_EPSILON instead of EPS, and ``v = cross(u, r)`` is not re-normalised
-  (it is already unit since u is unit and perpendicular to r).
+  direction ``r`` with ``w ~ U[0,1) * roughness``; the fallback condition
+  tests **n.x** (the normal!) while the frame is built around ``r``
+  (pathtracer.cpp:484 — ``glm::abs(n.x) < 1 - FLT_EPSILON ? cross((1,0,0), r)
+  : cross((1,1,1), r)``), the threshold uses FLT_EPSILON instead of EPS, and
+  ``v = cross(u, r)`` is not re-normalised. Note u is NOT generally
+  perpendicular to r when the (1,1,1) branch is taken, so v is not unit
+  either — all preserved bit-for-formula.
 * GLASS (pathtracer.cpp:491-514): Snell + Schlick with hardcoded
   nc=1.0, ng=1.5 and the Schlick power **2** (not 5). Total internal
   reflection reflects. On refraction the hit point steps back by 2*EPS along
@@ -96,8 +100,9 @@ def sample_bounce_soa(mat_type, rdx, rdy, rdz, nx, ny, nz, roughness,
     ddz = w * cos_a * uz + w * sin_a * vz + wz * nz
     ddx, ddy, ddz = _norm3(ddx, ddy, ddz)
 
-    # --- GLOSSY: frame around r (threshold FLT_EPSILON, v not normalised) --
-    gx_small = jnp.abs(rx) < (1.0 - FLT_EPSILON)
+    # --- GLOSSY: frame around r, but the branch condition tests n.x
+    # (pathtracer.cpp:484; threshold FLT_EPSILON, v not normalised) ---------
+    gx_small = jnp.abs(nx) < (1.0 - FLT_EPSILON)
     gux = jnp.where(gx_small, 0.0, rz - ry)
     guy = jnp.where(gx_small, -rz, rx - rz)
     guz = jnp.where(gx_small, ry, ry - rx)
@@ -142,9 +147,15 @@ def sample_bounce_soa(mat_type, rdx, rdy, rdz, nx, ny, nz, roughness,
     return BounceSampleSoA(dx, dy, dz, refracted, new_inside)
 
 
-def _frame_u(axis, threshold):
-    """u = |axis.x| < 1-threshold ? cross((1,0,0),axis) : cross((1,1,1),axis)."""
-    x_small = jnp.abs(axis[..., 0]) < (1.0 - threshold)
+def _frame_u(axis, threshold, cond_axis=None):
+    """u = |cond.x| < 1-threshold ? cross((1,0,0),axis) : cross((1,1,1),axis).
+
+    ``cond_axis`` defaults to ``axis``; GLOSSY passes the shading normal as
+    the condition while framing around the mirror direction
+    (pathtracer.cpp:484 parity quirk).
+    """
+    cond = axis if cond_axis is None else cond_axis
+    x_small = jnp.abs(cond[..., 0]) < (1.0 - threshold)
     ex = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], jnp.float32), axis.shape)
     ones = jnp.broadcast_to(jnp.array([1.0, 1.0, 1.0], jnp.float32), axis.shape)
     u = jnp.where(x_small[..., None], jnp.cross(ex, axis), jnp.cross(ones, axis))
@@ -190,7 +201,7 @@ def sample_bounce(mat_type, rd, n, roughness, inside,
     d_diff = d_diff / jnp.where(norm > 0, norm, 1.0)
 
     # --- GLOSSY -----------------------------------------------------------
-    u_g = _frame_u(r, FLT_EPSILON)
+    u_g = _frame_u(r, FLT_EPSILON, cond_axis=n)
     v_g = jnp.cross(u_g, r)  # not re-normalised (reference parity)
     wg = (u_rand * roughness)[..., None]
     d_gloss = (wg * jnp.cos(ang) * u_g + wg * jnp.sin(ang) * v_g

@@ -161,8 +161,10 @@ def trace(sc: OracleScene, ro, rd, max_depth, rand, ray_idx,
                             + math.sqrt(1 - w * w) * n)
                 refl_dir = refl_dir / np.linalg.norm(refl_dir)
             elif mt == 2:  # GLOSSY
+                # pathtracer.cpp:484: the condition tests n.x while the frame
+                # is built around r (re-transliterated from the C++).
                 flt_eps = 1.1920929e-07
-                u = (np.cross([1.0, 0, 0], r) if abs(r[0]) < 1 - flt_eps
+                u = (np.cross([1.0, 0, 0], r) if abs(n[0]) < 1 - flt_eps
                      else np.cross([1.0, 1.0, 1.0], r))
                 u = u / np.linalg.norm(u)
                 v = np.cross(u, r)

@@ -67,6 +67,25 @@ def test_cornell_glossy_parity():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
 
 
+def test_cornell_glossy_axis_wall_parity():
+    """Glossy side walls (n = +-x): the tangent-frame branch condition tests
+    n.x while framing around r (pathtracer.cpp:484) — the (1,1,1)-cross
+    branch must be taken on these walls in both engine and oracle."""
+    from pathtracing_spectrum_tpu import Material
+
+    def builder():
+        sc = cornell_scene(sky=True)
+        for i, el in enumerate(sc.objects[0].elements):
+            if el.name in ("left", "right"):
+                sc.set_material(0, i, Material(
+                    type=MaterialType.GLOSSY, roughness=0.5,
+                    temperature=25.0, spectrum_mat_id=1))
+        return sc
+
+    got, want = run_parity(builder, depth=3, n_pix=8, seed=7)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
+
+
 def test_bvh_backend_parity():
     got, want = run_parity(lambda: cornell_scene(sky=True), depth=2,
                            backend="bvh", seed=9)

@@ -106,3 +106,60 @@ def test_energy_conservation_bound():
     r = planck.bake_reflectivity_np(eps, 100.0, waves)
     b = planck.planck_bbp_np(373.15, waves)
     np.testing.assert_allclose(e + r, b, rtol=1e-6)
+
+
+# --- GLOSSY tangent-frame quirk (pathtracer.cpp:484) -----------------------
+# The reference's branch condition tests n.x (the shading normal) while the
+# frame is built around the mirror direction r:
+#   u = |n.x| < 1-FLT_EPS ? cross((1,0,0), r) : cross((1,1,1), r)
+# An axis-aligned wall (n = +-x) must therefore take the (1,1,1)-cross branch
+# even though |r.x| stays well below 1.
+
+FLT_EPS = 1.1920929e-07
+
+
+def _cpp_glossy(rd, n, rough, u_rand, th, branch=None):
+    """Scalar transliteration of pathtracer.cpp:481-490 (float64)."""
+    r = rd - 2.0 * np.dot(rd, n) * n
+    take_ones = abs(n[0]) >= 1.0 - FLT_EPS if branch is None else branch
+    u = np.cross([1.0, 1.0, 1.0], r) if take_ones else np.cross([1.0, 0.0, 0.0], r)
+    u = u / np.linalg.norm(u)
+    v = np.cross(u, r)  # not re-normalised (reference parity)
+    w = u_rand * rough
+    return (w * np.cos(2 * np.pi * th) * u + w * np.sin(2 * np.pi * th) * v
+            + np.sqrt(1.0 - w * w) * r)
+
+
+def _sample_vec(mat, rd, n, rough=0.0, inside=False, u=0.3, th=0.7, fr=0.9):
+    from pathtracing_spectrum_tpu.ops.sampling import sample_bounce
+    b = sample_bounce(
+        jnp.array([mat], jnp.int32), jnp.asarray([rd], jnp.float32),
+        jnp.asarray([n], jnp.float32), jnp.array([rough], jnp.float32),
+        jnp.array([inside]), jnp.array([u], jnp.float32),
+        jnp.array([th], jnp.float32), jnp.array([fr], jnp.float32))
+    return np.asarray(b.direction[0])
+
+
+@pytest.mark.parametrize("nx", [1.0, -1.0])
+def test_glossy_axis_aligned_wall_takes_ones_cross(nx):
+    n = np.array([nx, 0.0, 0.0])
+    rd = unit(np.array([-nx * 0.6, 0.5, 0.62]))
+    assert np.dot(rd, n) < 0
+    want = _cpp_glossy(rd, n, 0.4, 0.37, 0.21)
+    wrong = _cpp_glossy(rd, n, 0.4, 0.37, 0.21, branch=False)
+    assert not np.allclose(want, wrong, atol=1e-3)  # branches distinguishable
+    d_soa, _, _ = _sample(2, rd, n, rough=0.4, u=0.37, th=0.21)
+    np.testing.assert_allclose(d_soa, want, atol=1e-5)
+    d_vec = _sample_vec(2, rd, n, rough=0.4, u=0.37, th=0.21)
+    np.testing.assert_allclose(d_vec, want, atol=1e-5)
+
+
+def test_glossy_generic_normal_takes_x_cross():
+    n = unit(np.array([0.2, 0.9, -0.3]))
+    rd = unit(np.array([0.1, -0.8, 0.2]))
+    assert np.dot(rd, n) < 0
+    want = _cpp_glossy(rd, n, 0.25, 0.6, 0.85)
+    d_soa, _, _ = _sample(2, rd, n, rough=0.25, u=0.6, th=0.85)
+    np.testing.assert_allclose(d_soa, want, atol=1e-5)
+    d_vec = _sample_vec(2, rd, n, rough=0.25, u=0.6, th=0.85)
+    np.testing.assert_allclose(d_vec, want, atol=1e-5)
