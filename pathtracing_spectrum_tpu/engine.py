@@ -83,7 +83,8 @@ def resolve_backend(backend: str, n_tris: int) -> str:
     on_tpu = platform in ("tpu", "axon")
     if backend == "auto":
         if on_tpu:
-            backend = "dense" if n_tris <= DENSE_AUTO_MAX_TRIS else "cluster"
+            backend = ("dense" if n_tris <= DENSE_AUTO_MAX_TRIS
+                       else "shortlist")
         else:
             backend = "dense" if n_tris <= 8192 else "bvh"
     if backend == "dense" and on_tpu:
@@ -137,7 +138,8 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
 
     tri16 = (pack_tri16(scene.tri_face_n, scene.tri_k1, scene.tri_k2,
                         scene.tri_k3, scene.tri_consts)
-             if backend in ("dense_pallas", "cluster") else None)
+             if backend in ("dense_pallas", "cluster", "shortlist")
+             else None)
 
     # ---- column-subset attribute fetch ----
     # Only the attribute rows this configuration actually reads are fetched
@@ -180,6 +182,12 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
     def intersect(ox, oy, oz, dx, dy, dz):
         if backend == "dense_pallas":
             return intersect_dense_pallas_soa(ox, oy, oz, dx, dy, dz, tri16)
+        if backend == "shortlist":
+            from .ops.intersect_shortlist import intersect_shortlist_pallas_soa
+            interp = jax.devices()[0].platform.lower() not in ("tpu", "axon")
+            return intersect_shortlist_pallas_soa(
+                ox, oy, oz, dx, dy, dz, tri16, scene.cluster_aabbs,
+                interpret=interp)
         if backend == "cluster":
             return intersect_clustered_pallas_soa(
                 ox, oy, oz, dx, dy, dz, tri16, scene.cluster_aabbs)
@@ -196,7 +204,8 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                              leaf_size=leaf_size)
 
     on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
-    on_pallas = on_tpu and backend in ("dense_pallas", "cluster")
+    on_pallas = on_tpu and backend in ("dense_pallas", "cluster",
+                                       "shortlist")
 
     def fetch_attrs_t(idx):
         """[F', N] attribute planes for each ray's hit triangle."""

@@ -1,0 +1,125 @@
+"""Shortlist-driven cluster kernel (ops/intersect_shortlist.py) on the CPU
+interpreter: hit/idx selection must match the brute-force sweep exactly
+(incl. the lowest-index tie rule), and the stage-1 interval shortlists must
+be conservative (never cull a group any ray actually hits)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pathtracing_spectrum_tpu.ops.intersect import (intersect_bruteforce,
+                                                    precompute_intersect_tables)
+from pathtracing_spectrum_tpu.ops.intersect_pallas import (build_cluster_aabbs,
+                                                           pack_tri16)
+import pathtracing_spectrum_tpu.ops.intersect_shortlist as isl
+
+
+def _soup(T, seed=0, spread=5.0):
+    rng = np.random.default_rng(seed)
+    v1 = rng.uniform(-spread, spread, (T, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.3, (T, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.3, (T, 3)).astype(np.float32)
+    fn = np.cross(e1, e2)
+    fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-20)
+    k1, k2, k3, consts = precompute_intersect_tables(v1, e1, e2, fn)
+    tri16 = pack_tri16(*(jnp.asarray(x) for x in (fn, k1, k2, k3, consts)))
+    v2, v3 = v1 + e1, v1 + e2
+    caabb = jnp.asarray(build_cluster_aabbs(
+        np.minimum(np.minimum(v1, v2), v3).astype(np.float32),
+        np.maximum(np.maximum(v1, v2), v3).astype(np.float32)))
+    return (v1, e1, e2, fn, k1, k2, k3, consts), tri16, caabb
+
+
+def _rays(N, seed=1, park_frac=0.3):
+    rng = np.random.default_rng(seed)
+    ro = rng.uniform(-8, 8, (N, 3)).astype(np.float32)
+    rd = rng.normal(0, 1, (N, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    parked = rng.uniform(size=N) < park_frac
+    rd[parked] = 0.0
+    ro[parked] = 1e30
+    return ro, rd
+
+
+@pytest.mark.parametrize("T,N", [(300, 1024), (3000, 4096), (1100, 2048)])
+def test_shortlist_matches_bruteforce(T, N):
+    geo, tri16, caabb = _soup(T)
+    v1, e1, e2, fn, k1, k2, k3, consts = geo
+    ro, rd = _rays(N)
+    h0, t0, i0, _, _ = intersect_bruteforce(
+        jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(fn), jnp.asarray(k1),
+        jnp.asarray(k2), jnp.asarray(k3), jnp.asarray(consts))
+    h1, t1, i1, s2, s3 = isl.intersect_shortlist_pallas_soa(
+        *(jnp.asarray(ro[:, k]) for k in range(3)),
+        *(jnp.asarray(rd[:, k]) for k in range(3)),
+        tri16, caabb, interpret=True)
+    h0, h1 = np.asarray(h0), np.asarray(h1)
+    np.testing.assert_array_equal(h0, h1)
+    m = h0
+    np.testing.assert_allclose(np.asarray(t0)[m], np.asarray(t1)[m],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i0)[m], np.asarray(i1)[m])
+
+
+def test_shortlists_are_conservative():
+    """Every group a real per-ray slab test hits must be in the shortlist."""
+    geo, tri16, caabb = _soup(2100, seed=3)
+    ro, rd = _rays(2048, seed=4)
+    N = ro.shape[0]
+    block = isl._RB * isl._LANES
+    pad = (-N) % block
+    comps = [np.concatenate([ro[:, k], np.zeros(pad, np.float32)])
+             for k in range(3)]
+    comps += [np.concatenate([rd[:, k], np.zeros(pad, np.float32)])
+              for k in range(3)]
+    rays = jnp.stack([jnp.asarray(c) for c in comps]).reshape(
+        6, (N + pad) // isl._LANES, isl._LANES)
+
+    t_pad = (-2100) % isl.GROUP_T
+    n_groups = (2100 + t_pad) // isl.GROUP_T
+    nc = n_groups * isl.KC
+    ca = np.asarray(caabb)
+    if ca.shape[0] < nc:
+        ca = np.concatenate([ca, np.tile(
+            [[1, 1, 1, -1, -1, -1, 0, 0]], (nc - ca.shape[0], 1))]).astype(
+                np.float32)
+    ga, gv = isl.group_aabbs_from_clusters(jnp.asarray(ca), n_groups)
+    order, counts, tnear = isl.build_shortlists(rays, ga, gv)
+    order, counts = np.asarray(order), np.asarray(counts)
+
+    ga_np = np.asarray(ga)
+    inv = np.where(rd == 0.0, np.inf, 1.0 / np.where(rd == 0.0, 1.0, rd))
+    live = ~(rd == 0).all(axis=1)
+    t0 = (ga_np[None, :, 0:3] - ro[:, None, :]) * inv[:, None, :]
+    t1 = (ga_np[None, :, 3:6] - ro[:, None, :]) * inv[:, None, :]
+    tn = np.minimum(t0, t1).max(2)
+    tf = np.maximum(t0, t1).min(2)
+    ray_hits = (tn < tf) & (tf >= 0) & live[:, None]        # [N, G]
+    for b in range((N + pad) // block):
+        rays_lo, rays_hi = b * block, min((b + 1) * block, N)
+        if rays_lo >= N:
+            continue
+        needed = np.where(ray_hits[rays_lo:rays_hi].any(axis=0))[0]
+        listed = set(order[b, :counts[b]].tolist())
+        missing = [g for g in needed if g not in listed]
+        assert not missing, f"block {b} shortlist missing groups {missing}"
+
+
+def test_engine_shortlist_backend_matches_dense():
+    from scene_helpers import cornell_scene
+    from pathtracing_spectrum_tpu import camera_rays
+    from pathtracing_spectrum_tpu.engine import trace_radiance
+
+    sc = cornell_scene()
+    scene = sc.compile()
+    ro, rd = camera_rays(sc.camera(), 16, 16)
+    rng = np.random.default_rng(7)
+    rand = jnp.asarray(rng.uniform(0, 1, (6, 4, 256)).astype(np.float32))
+    key = jax.random.key(0)
+    a = trace_radiance(scene, ro, rd, key, 3, backend="dense",
+                       rand_override=rand)
+    b = trace_radiance(scene, ro, rd, key, 3, backend="shortlist",
+                       rand_override=rand)
+    np.testing.assert_allclose(np.asarray(a.radiance),
+                               np.asarray(b.radiance), rtol=2e-4, atol=1e-6)
