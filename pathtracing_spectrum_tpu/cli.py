@@ -42,6 +42,15 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--depth", type=int, default=None,
                    help="override trace depth (1..10)")
     r.add_argument("--res", default=None, help="override resolution WxH")
+    r.add_argument("--viewport", default=None, metavar="WxH",
+                   help="viewport size; scenes saved with autoRes derive the "
+                        "render resolution from it (main.cpp:3271-3283)")
+    r.add_argument("--live", type=int, default=0, metavar="N",
+                   help="refresh a live PNG of the running mean every N "
+                        "samples (the reference repaints each frame, "
+                        "main.cpp:3437-3453); 0 = off")
+    r.add_argument("--live-out", default=None, metavar="PATH",
+                   help="live PNG path (default: <out>_live.png)")
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--jitter", action="store_true",
                    help="sub-pixel anti-aliasing (off = reference parity)")
@@ -119,6 +128,10 @@ def cmd_render(args) -> int:
     if args.depth is not None:
         scene.trace_depth = max(1, min(10, args.depth))
     resolution = _parse_res(args.res) if args.res else None
+    if resolution is None and scene.auto_res and args.viewport:
+        # autoRes scenes derive the render size from the viewport, like the
+        # reference's Display() does each frame (main.cpp:3271-3283)
+        resolution = _parse_res(args.viewport)
 
     sharding = None
     if args.shard != "none":
@@ -143,11 +156,27 @@ def cmd_render(args) -> int:
         import jax
         jax.profiler.start_trace(args.profile)
         profiler = args.profile
+    live_path = None
+    live_next = 0
+    if args.live > 0:
+        out_guess = args.out or spectral_io.default_export_name(args.scene)
+        live_path = args.live_out or f"{out_guess}_live.png"
+        live_next = args.live
     try:
         last_ck = session.samples
         while session.samples < target:
             n = min(args.batch, target - session.samples)
+            if live_path:
+                # land exactly on the next refresh boundary
+                n = min(n, max(live_next - session.samples, 1))
             session.step(n, readback=False)
+            if live_path and session.samples >= live_next:
+                viewer.save_png(session.result(), max(args.channel, 0),
+                                live_path)
+                if args.ascii:
+                    print("\n" + viewer.ascii_preview(session.result(),
+                                                      max(args.channel, 0)))
+                live_next += args.live
             if (args.checkpoint and args.checkpoint_every
                     and session.samples - last_ck >= args.checkpoint_every):
                 session.save_checkpoint(args.checkpoint)

@@ -44,6 +44,11 @@ from .scene import Scene, SceneData
 
 MAX_TARGET_SPP = 65535  # reference GUI clamp (main.cpp:1662-1669)
 
+# Bumped whenever the per-sample RNG key derivation changes; checkpoints
+# from a different schedule would silently resume with a different random
+# sequence, so load_checkpoint refuses them.
+KEY_SCHEDULE_VERSION = 1
+
 
 class RenderStatus(enum.Enum):
     IDLE = "idle"
@@ -237,14 +242,24 @@ class RenderSession:
         self.last_sample_time = dt / max(n_samples, 1)
         return self.result() if readback else None
 
-    def run(self, target_spp: Optional[int] = None) -> np.ndarray:
-        """Render until target spp, then auto-pause (main.cpp:4057-4061)."""
+    def run(self, target_spp: Optional[int] = None,
+            batch: int = 8) -> np.ndarray:
+        """Render until target spp, then auto-pause (main.cpp:4057-4061).
+
+        Samples are stepped ``batch`` at a time (one device dispatch each —
+        per-dispatch tunnel latency is 6..900 ms, so per-sample stepping is
+        dominated by launch overhead). Jitter mode keeps its per-sample
+        semantics inside ``step``; the batching here is purely dispatch
+        grouping either way, so results are identical to ``run(..., batch=1)``.
+        """
         target = min(target_spp if target_spp is not None else self.target_spp,
                      MAX_TARGET_SPP)
+        batch = max(1, batch)
         self.start()
         while (self.status == RenderStatus.RENDERING
                and (target == 0 or self.samples < target)):
-            self.step(1)
+            n = batch if target == 0 else min(batch, target - self.samples)
+            self.step(n, readback=False)
             if target and self.samples >= target:
                 self.pause()
         return self.result()
@@ -323,7 +338,10 @@ class RenderSession:
                  sample_counter=self._sample_counter,
                  seed=self.seed,
                  resolution=np.asarray(self.resolution),
-                 n_waves=len(self.scene.wavelengths))
+                 n_waves=len(self.scene.wavelengths),
+                 scene_hash=self.scene.content_digest(),
+                 backend=self.resolved_backend(),
+                 key_schedule=KEY_SCHEDULE_VERSION)
 
     def load_checkpoint(self, path: str) -> None:
         data = np.load(path)
@@ -331,6 +349,33 @@ class RenderSession:
             raise ValueError("checkpoint resolution mismatch")
         if int(data["n_waves"]) != len(self.scene.wavelengths):
             raise ValueError("checkpoint wavelength-count mismatch")
+        # Content binding: matching shapes are NOT enough — a checkpoint from
+        # a different scene must refuse rather than resume into a wrong image.
+        if "scene_hash" in data.files:
+            ck_hash = str(data["scene_hash"])
+            here = self.scene.content_digest()
+            if ck_hash != here:
+                raise ValueError(
+                    f"checkpoint scene mismatch: checkpoint was written for "
+                    f"scene {ck_hash[:12]}, this session's scene is "
+                    f"{here[:12]} (same shapes do not imply same scene)")
+            if int(data["key_schedule"]) != KEY_SCHEDULE_VERSION:
+                raise ValueError(
+                    f"checkpoint RNG key-schedule version "
+                    f"{int(data['key_schedule'])} != {KEY_SCHEDULE_VERSION}; "
+                    f"resuming would change the random sequence")
+            ck_backend = str(data["backend"])
+            if ck_backend != self.resolved_backend():
+                import warnings
+                warnings.warn(
+                    f"checkpoint was rendered with backend '{ck_backend}', "
+                    f"resuming with '{self.resolved_backend()}' (hit "
+                    f"selection is bit-identical across backends, but noting "
+                    f"the switch)", stacklevel=2)
+        else:
+            import warnings
+            warnings.warn("legacy checkpoint without a scene hash — cannot "
+                          "verify it matches this scene", stacklevel=2)
         if self._dirty:
             self._sync()
         total_np = data["total"]

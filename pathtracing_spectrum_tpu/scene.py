@@ -342,6 +342,46 @@ class Scene:
             total += sum(s.v_idx.shape[0] for s in mesh.shapes)
         return total
 
+    def content_digest(self) -> str:
+        """Stable hash of everything that affects rendered pixels.
+
+        Used to bind render checkpoints to the scene they came from: a
+        checkpoint whose accumulator happens to match another scene's shapes
+        must still refuse to resume (the reference cannot checkpoint at all,
+        SURVEY §5, so this is new-framework policy, not parity). Hashes the
+        authoring-level description — wavelengths, spectrum materials, sky,
+        depth, per-element materials/textures, object sources + transforms,
+        camera — rather than the compiled device arrays, so it is cheap and
+        independent of compile-time layout choices.
+        """
+        import hashlib
+
+        h = hashlib.sha1()
+
+        def put(*parts):
+            for p in parts:
+                h.update(repr(p).encode())
+                h.update(b"\x00")
+
+        put("waves", [float(w) for w in self.wavelengths])
+        for m in self.spectrum_materials:
+            put("specmat", m.name, [float(e) for e in m.emissivity])
+        put("sky", self.sky_material_id, float(self.sky_temperature))
+        put("depth", self.trace_depth)
+        put("cam", self.camera_position.tolist(),
+            self.camera_rotation.tolist(),
+            float(self.camera_focal), float(self.camera_fovy))
+        for obj in self.objects:
+            put("obj", obj.filename, obj._location.tolist(),
+                obj._rotation.tolist(), obj._scale.tolist())
+            for el in obj.elements:
+                m = el.material
+                put("el", int(m.type), tuple(m.base_color), float(m.roughness),
+                    float(m.ior), float(m.dispersion_b), m.normal_tex_file,
+                    m.roughness_tex_file, m.temperature_data_file,
+                    float(m.temperature), int(m.spectrum_mat_id))
+        return h.hexdigest()
+
     # -- compilation ---------------------------------------------------------
     def compile(self, build_bvh: bool = True, leaf_size: int = 4) -> SceneData:
         """Bake the scene into device arrays.

@@ -91,6 +91,50 @@ def test_cli_peek_info_new_import(tmp_path, scene_file, capsys):
     assert "3 wavelengths" in capsys.readouterr().out
 
 
+def test_cli_live_view_advances(tmp_path, scene_file, monkeypatch):
+    """--live N refreshes the live PNG mid-render with advancing content."""
+    out = str(tmp_path / "out.txt")
+    live = str(tmp_path / "live.png")
+    snapshots = []
+    real = viewer.save_png
+
+    def spy(img, channel, path, **kw):
+        real(img, channel, path, **kw)
+        if path == live:
+            snapshots.append(open(path, "rb").read())
+
+    monkeypatch.setattr(viewer, "save_png", spy)
+    rc = cli.main(["render", scene_file, "--spp", "6", "--live", "2",
+                   "--live-out", live, "--out", out, "--quiet",
+                   "--backend", "dense"])
+    assert rc == 0
+    assert len(snapshots) == 3          # refreshed at 2, 4, 6 spp
+    assert os.path.exists(live)
+    assert any(a != b for a, b in zip(snapshots, snapshots[1:]))
+
+
+def test_cli_viewport_auto_res(tmp_path):
+    """autoRes scenes derive the render resolution from --viewport."""
+    sc = cornell_scene(depth=2, res=(16, 16))
+    sc.auto_res = True
+    p = str(tmp_path / "auto.pts")
+    scene_io.save_scene(sc, p)
+    out = str(tmp_path / "out.txt")
+    rc = cli.main(["render", p, "--spp", "1", "--viewport", "12x6",
+                   "--out", out, "--quiet", "--backend", "dense"])
+    assert rc == 0
+    lines = open(out).read().splitlines()
+    assert len(lines) == 4 * 6                    # nw * h rows
+    assert len(lines[0].split()) == 12            # w floats per row
+
+    # without autoRes the viewport is ignored
+    sc.auto_res = False
+    scene_io.save_scene(sc, p)
+    cli.main(["render", p, "--spp", "1", "--viewport", "12x6",
+              "--out", out, "--quiet", "--backend", "dense"])
+    assert len(open(out).read().splitlines()) == 4 * 16
+
+
 def test_viewer_grayscale_and_ascii():
     img = np.zeros((4, 4, 2), np.float32)
     img[0, 0, 0] = 1.0

@@ -93,6 +93,61 @@ def test_checkpoint_mismatch_rejected(tmp_path):
         b.load_checkpoint(p)
 
 
+def test_run_batches_dispatches(monkeypatch):
+    """run(64) issues <= 9 device dispatches (batched render_samples)."""
+    import pathtracing_spectrum_tpu.render as render_mod
+
+    calls = {"n": 0}
+    real = render_mod.render_samples
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(render_mod, "render_samples", counting)
+    s = small_session()
+    s.run(target_spp=64)
+    assert s.samples == 64
+    assert calls["n"] <= 9
+
+
+def test_run_batched_matches_per_sample():
+    a = small_session(seed=5).run(target_spp=5, batch=4)
+    b = small_session(seed=5).run(target_spp=5, batch=1)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_checkpoint_scene_content_mismatch(tmp_path):
+    """Same shapes, different scene content -> refuse to resume."""
+    p = str(tmp_path / "ckpt.npz")
+    a = small_session()
+    a.run(target_spp=1)
+    a.save_checkpoint(p)
+
+    sc = cornell_scene(depth=2, res=(8, 8))       # identical shapes...
+    m = sc.objects[0].elements[0].material.copy()
+    m.temperature = 99.0                          # ...different content
+    sc.set_material(0, 0, m)
+    b = RenderSession(sc, backend="dense")
+    b.start()
+    with pytest.raises(ValueError, match="scene mismatch"):
+        b.load_checkpoint(p)
+
+    # the unmodified scene still resumes
+    c = small_session()
+    c.start()
+    c.load_checkpoint(p)
+    assert c.samples == 1
+
+
+def test_content_digest_sensitivity():
+    a = cornell_scene(depth=2, res=(8, 8))
+    b = cornell_scene(depth=2, res=(8, 8))
+    assert a.content_digest() == b.content_digest()
+    b.trace_depth = 5
+    assert a.content_digest() != b.content_digest()
+
+
 def test_stats():
     s = small_session()
     s.run(target_spp=2)
