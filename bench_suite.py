@@ -222,6 +222,55 @@ def config5_multichip_4k():
     report("multichip_4k_tiled", devices=n_dev, spp=4, seconds=round(dt, 3),
            tiled=bool(sharding), spp_per_sec_4k=round(4 / dt, 3),
            mrays_per_sec_total=round(st["mrays_per_s"], 1))
+    if n_dev == 1:
+        config5_virtual_mesh()
+
+
+def config5_virtual_mesh():
+    """Exercise the real tiled + spp-allreduce collective paths on a virtual
+    8-device CPU mesh when no pod is attached. Numbers demonstrate the
+    sharded code paths executing end-to-end (correctness/scaling shape), NOT
+    TPU throughput — labeled virtual_mesh accordingly. Resolutions are
+    small because XLA's CPU collective rendezvous aborts when device threads
+    arrive >40 s apart — the 8 fake devices share physical cores, so skew
+    grows with shard size: tiles shards pixels (1/8 image per device);
+    spp-allreduce renders the full image per device, so it runs smaller."""
+    out_json = os.path.join(tempfile.gettempdir(), "pts_virtual_mesh.json")
+    code = f"""
+import os
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import json, sys, time
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+import bench_suite as bs
+from pathtracing_spectrum_tpu.parallel.mesh import make_mesh
+from pathtracing_spectrum_tpu.parallel.tiling import SppAllreduce, TileSharding
+
+mesh = make_mesh(jax.devices()[:8])
+results = []
+for name, shard, res in (("tiles", TileSharding(mesh), (480, 270)),
+                         ("spp_allreduce", SppAllreduce(mesh), (192, 108))):
+    sc = bs.cornell_scene(res, 3)
+    s = bs._session(sc, sharding=shard)
+    s.start()
+    s.step(1, readback=False)                 # compile
+    t0 = time.perf_counter()
+    s.step(2, readback=False)
+    dt = time.perf_counter() - t0
+    st = s.stats()
+    results.append(dict(strategy=name, devices=8,
+                        resolution=f"{{res[0]}}x{{res[1]}}",
+                        spp=int(s.samples), seconds_2spp=round(dt, 3),
+                        mrays_per_sec_total=round(st["mrays_per_s"], 1)))
+json.dump(results, open({out_json!r}, "w"))
+"""
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=3000)
+    for entry in json.load(open(out_json)):
+        report("multichip_tiled_virtual", virtual_mesh=True,
+               correctness_only=True, **entry)
 
 
 def main():

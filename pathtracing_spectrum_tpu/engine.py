@@ -107,7 +107,8 @@ def _norm3(x, y, z):
 def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                    backend: str = "auto", leaf_size: int = 4,
                    rand_override: Optional[jnp.ndarray] = None,
-                   dispersion: bool = False) -> TraceResult:
+                   dispersion: bool = False,
+                   reorder: object = "auto") -> TraceResult:
     """Trace radiance spectra for a batch of rays.
 
     Args:
@@ -124,6 +125,13 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         the per-channel image) and GLASS refracts with that channel's
         Cauchy index from the material's ior/dispersion_b instead of the
         reference's fixed 1.5. Off by default (reference parity).
+      reorder: sort bounce rays by (direction octant, origin morton cell)
+        before each intersection from bounce 1 on, so the block-granular
+        culling in the cluster/shortlist kernels sees coherent blocks and
+        fully-terminated blocks compact to the tail. "auto" = on exactly for
+        those kernels on TPU; True/False force it. Per-ray hit selection is
+        order-independent (conservative block culls + the lowest-index tie
+        rule), so results are bit-identical either way.
 
     Returns:
       TraceResult(radiance [N, nw], rays_traced scalar).
@@ -207,6 +215,45 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
     on_pallas = on_tpu and backend in ("dense_pallas", "cluster",
                                        "shortlist")
 
+    # ---- bounce-ray reordering (block coherence for culling kernels) ----
+    do_reorder = (reorder is True
+                  or (reorder == "auto" and on_pallas
+                      and backend in ("cluster", "shortlist")))
+    if do_reorder:
+        _POS_BITS = 4
+        ca = scene.cluster_aabbs
+        cvalid = (ca[:, 0] <= ca[:, 3])[:, None]
+        smin = jnp.min(jnp.where(cvalid, ca[:, 0:3], jnp.inf), axis=0)
+        smax = jnp.max(jnp.where(cvalid, ca[:, 3:6], -jnp.inf), axis=0)
+        inv_ext = 1.0 / jnp.maximum(smax - smin, 1e-6)
+
+        def sort_perm(ox, oy, oz, dx, dy, dz, alive):
+            """Stable order: direction octant first (sign-coherent blocks —
+            the shortlist's interval slab test constrains nothing on an axis
+            whose direction bounds span 0), then a morton cell of the origin
+            (tight origin bounds per block). Dead rays key to the maximum so
+            whole tail blocks go fully-parked and shortlist to zero groups."""
+            cells = 1 << _POS_BITS
+
+            def q(v, lo, ie):
+                return jnp.clip(((v - lo) * ie * cells).astype(jnp.int32),
+                                0, cells - 1)
+
+            qx = q(ox, smin[0], inv_ext[0])
+            qy = q(oy, smin[1], inv_ext[1])
+            qz = q(oz, smin[2], inv_ext[2])
+            m = jnp.zeros_like(qx)
+            for b in range(_POS_BITS):
+                m = (m | (((qx >> b) & 1) << (3 * b + 2))
+                     | (((qy >> b) & 1) << (3 * b + 1))
+                     | (((qz >> b) & 1) << (3 * b)))
+            octant = ((dx < 0).astype(jnp.int32) * 4
+                      + (dy < 0).astype(jnp.int32) * 2
+                      + (dz < 0).astype(jnp.int32))
+            key = (octant << (3 * _POS_BITS)) | m
+            key = jnp.where(alive, key, jnp.int32(1) << 30)
+            return jnp.argsort(key, stable=True).astype(jnp.int32)
+
     def fetch_attrs_t(idx):
         """[F', N] attribute planes for each ray's hit triangle."""
         if on_pallas:
@@ -239,12 +286,24 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         hero_onehot_t = (jnp.arange(nw, dtype=jnp.int32)[:, None]
                          == hero[None, :]).astype(jnp.float32)  # [nw, N]
 
-    def body(h, state):
+    def body(h, state, do_sort=False):
         (rox, roy, roz, rdx, rdy, rdz,
          throughput_t, radiance_t, inside, alive, rays_traced) = state
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.int32))
 
-        hit, t, idx, s2, s3 = intersect(rox, roy, roz, rdx, rdy, rdz)
+        if do_sort:
+            # sort only around the intersection: 6 gathers in, 5 out — the
+            # [nw, N] spectral state never moves
+            perm = sort_perm(rox, roy, roz, rdx, rdy, rdz, alive)
+            inv = jnp.zeros_like(perm).at[perm].set(
+                jnp.arange(n, dtype=jnp.int32))
+            hit, t, idx, s2, s3 = intersect(
+                rox[perm], roy[perm], roz[perm],
+                rdx[perm], rdy[perm], rdz[perm])
+            hit, t, idx, s2, s3 = (hit[inv], t[inv], idx[inv],
+                                   s2[inv], s3[inv])
+        else:
+            hit, t, idx, s2, s3 = intersect(rox, roy, roz, rdx, rdy, rdz)
         hit = hit & alive
 
         attrs_t = fetch_attrs_t(idx)
@@ -408,7 +467,15 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
              jnp.zeros(n, bool),
              jnp.ones(n, bool),
              jnp.zeros((), jnp.int32))
-    state = jax.lax.fori_loop(0, 2 * max_depth, body, state)
+    if do_reorder:
+        # primary rays are already tile-ordered (render.py host permutation):
+        # peel bounce 0 unsorted, sort every later bounce
+        state = body(0, state)
+        state = jax.lax.fori_loop(1, 2 * max_depth,
+                                  functools.partial(body, do_sort=True),
+                                  state)
+    else:
+        state = jax.lax.fori_loop(0, 2 * max_depth, body, state)
     throughput_t, radiance_t, alive, rays_traced = (state[6], state[7],
                                                     state[9], state[10])
 
@@ -419,10 +486,10 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("max_depth", "backend", "leaf_size",
-                                    "dispersion"))
+                                    "dispersion", "reorder"))
 def render_sample(scene: SceneData, ro, rd, total, samples, key,
                   max_depth: int, backend: str = "auto", leaf_size: int = 4,
-                  dispersion: bool = False):
+                  dispersion: bool = False, reorder: object = "auto"):
     """One progressive sample: trace all pixels once and accumulate.
 
     Reproduces ``RenderFrame``'s accumulation (pathtracer.cpp:595-598):
@@ -431,7 +498,7 @@ def render_sample(scene: SceneData, ro, rd, total, samples, key,
     Returns (total', samples', out, rays_traced).
     """
     res = trace_radiance(scene, ro, rd, key, max_depth, backend, leaf_size,
-                         dispersion=dispersion)
+                         dispersion=dispersion, reorder=reorder)
     total = total + res.radiance
     samples = samples + 1
     out = total / samples.astype(jnp.float32)
@@ -440,12 +507,12 @@ def render_sample(scene: SceneData, ro, rd, total, samples, key,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_steps", "max_depth", "backend",
-                                    "leaf_size", "dispersion"),
+                                    "leaf_size", "dispersion", "reorder"),
                    donate_argnums=(3,))
 def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
                    counter0, n_steps: int, max_depth: int,
                    backend: str = "auto", leaf_size: int = 4,
-                   dispersion: bool = False):
+                   dispersion: bool = False, reorder: object = "auto"):
     """``n_steps`` progressive samples in ONE dispatch.
 
     Per-call launch latency on a tunneled/remote TPU can reach hundreds of
@@ -459,7 +526,7 @@ def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
         total, samples, rays = carry
         k = jax.random.fold_in(base_key, counter0 + i)
         res = trace_radiance(scene, ro, rd, k, max_depth, backend, leaf_size,
-                             dispersion=dispersion)
+                             dispersion=dispersion, reorder=reorder)
         return total + res.radiance, samples + 1, rays + res.rays_traced
 
     total, samples, rays = jax.lax.fori_loop(

@@ -123,3 +123,25 @@ def test_engine_shortlist_backend_matches_dense():
                        rand_override=rand)
     np.testing.assert_allclose(np.asarray(a.radiance),
                                np.asarray(b.radiance), rtol=2e-4, atol=1e-6)
+
+
+def test_reorder_is_bit_identical():
+    """Bounce-ray reordering must not change a single bit of the result:
+    block culling is conservative and hit selection is order-independent."""
+    from scene_helpers import cornell_scene
+    from pathtracing_spectrum_tpu import camera_rays
+    from pathtracing_spectrum_tpu.engine import trace_radiance
+
+    sc = cornell_scene(depth=3)
+    scene = sc.compile()
+    ro, rd = camera_rays(sc.camera(), 16, 16)
+    rng = np.random.default_rng(11)
+    rand = jnp.asarray(rng.uniform(0, 1, (6, 4, 256)).astype(np.float32))
+    key = jax.random.key(0)
+    a = trace_radiance(scene, ro, rd, key, 3, backend="shortlist",
+                       rand_override=rand, reorder=False)
+    b = trace_radiance(scene, ro, rd, key, 3, backend="shortlist",
+                       rand_override=rand, reorder=True)
+    np.testing.assert_array_equal(np.asarray(a.radiance),
+                                  np.asarray(b.radiance))
+    assert int(a.rays_traced) == int(b.rays_traced)
