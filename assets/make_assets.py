@@ -138,6 +138,79 @@ def make_sphere(path, n_theta=24, n_phi=48):
                     f.write(f"f {a}/{a}/{a} {c}/{c}/{c} {d}/{d}/{d}\n")
 
 
+def make_terrain(path, grid=128, n_rocks=24, rock_sub=12, seed=7):
+    """Large-scene stress asset: displaced heightfield + scattered UV-sphere
+    rocks + an emitter panel. Triangle count ~= 2*grid^2 + n_rocks*2*rock_sub^2.
+
+    grid=128, rocks 24x12  -> ~40k tris;   grid=160, rocks 48x24 -> ~106k
+    grid=192, rocks 96x24  -> ~129k;       grid=256, rocks 96x32 -> ~327k
+    Spatially structured (hills occlude valleys, rocks are compact clumps) so
+    hierarchical culling has real work to do — unlike a random triangle soup.
+    Deterministic: numpy PRNG with a fixed seed.
+    """
+    import math
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    ext = 8.0                      # terrain spans [-ext, ext]^2 in x/z
+    with open(path, "w") as f:
+        f.write("# Procedural terrain stress scene\n")
+        f.write("g terrain\ns 1\n")
+        xs = np.linspace(-ext, ext, grid + 1)
+        zs = np.linspace(-ext, ext, grid + 1)
+        X, Z = np.meshgrid(xs, zs, indexing="ij")
+        H = (1.1 * np.sin(0.7 * X) * np.cos(0.9 * Z)
+             + 0.5 * np.sin(1.9 * X + 1.3) * np.sin(1.7 * Z + 0.4)
+             + 0.22 * np.sin(4.3 * X + 2.0) * np.cos(3.7 * Z + 1.1))
+        for i in range(grid + 1):
+            for j in range(grid + 1):
+                f.write(f"v {X[i, j]:.5f} {H[i, j]:.5f} {Z[i, j]:.5f}\n")
+
+        def vid(i, j):
+            return i * (grid + 1) + j + 1
+        for i in range(grid):
+            for j in range(grid):
+                a, b = vid(i, j), vid(i + 1, j)
+                c, d = vid(i + 1, j + 1), vid(i, j + 1)
+                f.write(f"f {a} {b} {c}\nf {a} {c} {d}\n")
+        vb = (grid + 1) * (grid + 1) + 1
+
+        f.write("g rocks\ns 1\n")
+        nt, np_ = rock_sub, 2 * rock_sub
+        for _ in range(n_rocks):
+            cx, cz = rng.uniform(-ext * 0.85, ext * 0.85, 2)
+            hx = (1.1 * math.sin(0.7 * cx) * math.cos(0.9 * cz)
+                  + 0.5 * math.sin(1.9 * cx + 1.3) * math.sin(1.7 * cz + 0.4)
+                  + 0.22 * math.sin(4.3 * cx + 2.0) * math.cos(3.7 * cz + 1.1))
+            r = rng.uniform(0.25, 0.7)
+            cy = hx + 0.55 * r
+            sq = rng.uniform(0.7, 1.3, 3)       # squash per axis
+            for i in range(nt + 1):
+                th = math.pi * i / nt
+                for j in range(np_ + 1):
+                    ph = 2 * math.pi * j / np_
+                    x = math.sin(th) * math.cos(ph)
+                    y = math.cos(th)
+                    z = math.sin(th) * math.sin(ph)
+                    f.write(f"v {cx + r * sq[0] * x:.5f} "
+                            f"{cy + r * sq[1] * y:.5f} "
+                            f"{cz + r * sq[2] * z:.5f}\n")
+            def svid(i, j, vb=vb):
+                return vb + i * (np_ + 1) + j
+            for i in range(nt):
+                for j in range(np_):
+                    a, b = svid(i, j), svid(i, j + 1)
+                    c, d = svid(i + 1, j + 1), svid(i + 1, j)
+                    if i != 0:
+                        f.write(f"f {a} {b} {c}\n")
+                    if i != nt - 1:
+                        f.write(f"f {a} {c} {d}\n")
+            vb += (nt + 1) * (np_ + 1)
+
+        f.write("g light\n")
+        quad(f, (-2.5, 6.0, -2.5), (2.5, 6.0, -2.5),
+             (2.5, 6.0, 2.5), (-2.5, 6.0, 2.5), vb, tbase=1)
+
+
 def make_checker_png(path, size=128, tiles=8):
     """Checkerboard texture (roughness/normal-map test input)."""
     import numpy as np
@@ -157,4 +230,8 @@ if __name__ == "__main__":
     make_prism(os.path.join(HERE, "prism.obj"))
     make_sphere(os.path.join(HERE, "sphere.obj"))
     make_checker_png(os.path.join(HERE, "checker.png"))
+    make_terrain(os.path.join(HERE, "terrain_52k.obj"),
+                 grid=128, n_rocks=36, rock_sub=12)
+    make_terrain(os.path.join(HERE, "terrain_200k.obj"),
+                 grid=224, n_rocks=96, rock_sub=20)
     print("assets written")

@@ -12,6 +12,7 @@ Commands:
   new        write an empty versioned scene file
   import     validate/convert spectral txt inputs (waves / materials)
   bench      run the headline benchmark
+  shell      interactive scene-editing shell (the GUI edit loop, headless)
 """
 
 from __future__ import annotations
@@ -97,6 +98,11 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="wave count (required for materials)")
 
     sub.add_parser("bench", help="run the headline benchmark")
+
+    sh = sub.add_parser("shell", help="interactive scene-editing shell "
+                        "(the GUI edit loop, headless)")
+    sh.add_argument("scene", nargs="?", default=None,
+                    help="scene file to open at startup")
     return p
 
 
@@ -309,6 +315,12 @@ def cmd_bench(args) -> int:
     return subprocess.call([sys.executable, os.path.join(root, "bench.py")])
 
 
+def cmd_shell(args) -> int:
+    from .shell import run_shell
+
+    return run_shell(args.scene)
+
+
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
     return {
@@ -319,6 +331,7 @@ def main(argv=None) -> int:
         "preview": cmd_preview,
         "import": cmd_import,
         "bench": cmd_bench,
+        "shell": cmd_shell,
     }[args.cmd](args)
 
 
