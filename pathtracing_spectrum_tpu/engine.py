@@ -70,6 +70,15 @@ ONEHOT_FETCH_MAX_BYTES = 256 * 1024 * 1024
 # "auto" backend: dense sweep below this triangle count.
 DENSE_AUTO_MAX_TRIS = 512
 
+# "auto" bounce-ray reorder: only above this triangle count. Below it the
+# shortlist has only a handful of groups to cull, and the per-bounce argsort
+# is pure overhead (measured 1080p/2.2k tris: 1.61 -> 0.45 spp/s with an
+# unconditional sort; 52k tris: 1.28 -> 2.45 spp/s with it).
+REORDER_AUTO_MIN_TRIS = 8192
+
+# Reorder key layout: morton bits per origin axis.
+REORDER_POS_BITS = 4
+
 
 def resolve_backend(backend: str, n_tris: int) -> str:
     """Map 'auto'/'dense' to a concrete implementation for this platform.
@@ -218,9 +227,10 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
     # ---- bounce-ray reordering (block coherence for culling kernels) ----
     do_reorder = (reorder is True
                   or (reorder == "auto" and on_pallas
-                      and backend in ("cluster", "shortlist")))
+                      and backend in ("cluster", "shortlist")
+                      and n_tris >= REORDER_AUTO_MIN_TRIS))
     if do_reorder:
-        _POS_BITS = 4
+        _POS_BITS = REORDER_POS_BITS
         ca = scene.cluster_aabbs
         cvalid = (ca[:, 0] <= ca[:, 3])[:, None]
         smin = jnp.min(jnp.where(cvalid, ca[:, 0:3], jnp.inf), axis=0)
@@ -232,7 +242,13 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
             the shortlist's interval slab test constrains nothing on an axis
             whose direction bounds span 0), then a morton cell of the origin
             (tight origin bounds per block). Dead rays key to the maximum so
-            whole tail blocks go fully-parked and shortlist to zero groups."""
+            whole tail blocks go fully-parked and shortlist to zero groups.
+            Uses lax.sort (argsort): measured against cumsum counting /
+            radix schemes on v5e, the bitonic sort wins (XLA lowers cumsum
+            to ~log2(N) full passes, costing 3-4x argsort at any N); at 2M
+            rays the dominant cost is the 11 permutation gathers either way
+            (~16 ms each, locality-independent), which is why auto-reorder
+            stays gated on triangle count."""
             cells = 1 << _POS_BITS
 
             def q(v, lo, ie):
@@ -251,8 +267,12 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                       + (dy < 0).astype(jnp.int32) * 2
                       + (dz < 0).astype(jnp.int32))
             key = (octant << (3 * _POS_BITS)) | m
-            key = jnp.where(alive, key, jnp.int32(1) << 30)
-            return jnp.argsort(key, stable=True).astype(jnp.int32)
+            # dead rays -> top bucket (one extra key bit)
+            key = jnp.where(alive, key, jnp.int32(1) << (3 * _POS_BITS + 3))
+            perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+            inv = jnp.zeros_like(perm).at[perm].set(
+                jnp.arange(n, dtype=jnp.int32))
+            return perm, inv
 
     def fetch_attrs_t(idx):
         """[F', N] attribute planes for each ray's hit triangle."""
@@ -286,6 +306,16 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         hero_onehot_t = (jnp.arange(nw, dtype=jnp.int32)[:, None]
                          == hero[None, :]).astype(jnp.float32)  # [nw, N]
 
+        def hero_sel(rows_t):
+            """Exact hero-channel select from [nw, N] rows (one nonzero
+            term per column, so the reduce adds only zeros — bit-identical
+            to indexing channel ``hero``)."""
+            return jnp.sum(rows_t * hero_onehot_t, axis=0)
+
+        sky_hero = hero_sel(scene.sky[:, None])
+        wn_hero = (hero_sel(scene.wavenumbers[:, None])
+                   if has_grids else None)
+
     def body(h, state, do_sort=False):
         (rox, roy, roz, rdx, rdy, rdz,
          throughput_t, radiance_t, inside, alive, rays_traced) = state
@@ -294,9 +324,7 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         if do_sort:
             # sort only around the intersection: 6 gathers in, 5 out — the
             # [nw, N] spectral state never moves
-            perm = sort_perm(rox, roy, roz, rdx, rdy, rdz, alive)
-            inv = jnp.zeros_like(perm).at[perm].set(
-                jnp.arange(n, dtype=jnp.int32))
+            perm, inv = sort_perm(rox, roy, roz, rdx, rdy, rdz, alive)
             hit, t, idx, s2, s3 = intersect(
                 rox[perm], roy[perm], roz[perm],
                 rdx[perm], rdy[perm], rdz[perm])
@@ -400,35 +428,62 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         killed = hit & rr_active & (rr_rand > row(attrs_t, "rr_prob"))
 
         # ---- emissivity / reflectivity (+ temperature-grid re-bake) ----
-        emis_t = rows(attrs_t, "emissivity")        # [nw, N]
-        refl_t = rows(attrs_t, "reflectivity")
-        if has_grids:
-            grid = row(attrs_t, "temp_grid").astype(jnp.int32)
-            gwh = sub["temp_grid_wh"].start
-            temp = sample_nearest_wh(scene.temp_grids, grid,
-                                     attrs_t[gwh], attrs_t[gwh + 1],
-                                     uvu, uvv)
-            bbp_t = planck.planck_bbp(temp + planck.CELSIUS_OFFSET,
-                                      scene.wavenumbers).T   # [nw, N]
-            eps_t = rows(attrs_t, "eps_curve")
-            has_grid = (grid >= 0)[None, :]
-            emis_eff = jnp.where(has_grid, bbp_t * eps_t, emis_t)
-            refl_eff = jnp.where(has_grid, bbp_t * (1.0 - eps_t), refl_t)
-        else:
-            emis_eff = emis_t
-            refl_eff = refl_t
-
-        # ---- radiance/throughput updates ----
         # miss: sky, die. kill: BAKED emissivity, die. survive: effective
         # emissivity, throughput *= effective reflectivity.
         miss = alive & ~hit
         survive = hit & ~killed
-        contrib = (miss[None, :] * scene.sky[:, None]
-                   + killed[None, :] * emis_t
-                   + survive[None, :] * emis_eff)
-        radiance_t = radiance_t + throughput_t * contrib
-        throughput_t = jnp.where(survive[None, :], throughput_t * refl_eff,
-                                 throughput_t)
+        emis_t = rows(attrs_t, "emissivity")        # [nw, N]
+        refl_t = rows(attrs_t, "reflectivity")
+        if use_dispersion:
+            # hero-packed state: per-ray SCALAR throughput/radiance for the
+            # hero channel (throughput_t/radiance_t are [N] here); the only
+            # [nw, N] work left is the 2-3 hero selects per bounce. The
+            # channel math is the bit-identical scalar sequence the dense
+            # [nw, N] one-hot path ran on channel `hero`.
+            emis_b = hero_sel(emis_t)
+            refl_b = hero_sel(refl_t)
+            if has_grids:
+                grid = row(attrs_t, "temp_grid").astype(jnp.int32)
+                gwh = sub["temp_grid_wh"].start
+                temp = sample_nearest_wh(scene.temp_grids, grid,
+                                         attrs_t[gwh], attrs_t[gwh + 1],
+                                         uvu, uvv)
+                bbp_h = planck.planck_bbp_elem(
+                    temp + planck.CELSIUS_OFFSET, wn_hero)
+                eps_h = hero_sel(rows(attrs_t, "eps_curve"))
+                hg = grid >= 0
+                emis_eff = jnp.where(hg, bbp_h * eps_h, emis_b)
+                refl_eff = jnp.where(hg, bbp_h * (1.0 - eps_h), refl_b)
+            else:
+                emis_eff = emis_b
+                refl_eff = refl_b
+            contrib = (miss * sky_hero + killed * emis_b
+                       + survive * emis_eff)
+            radiance_t = radiance_t + throughput_t * contrib
+            throughput_t = jnp.where(survive, throughput_t * refl_eff,
+                                     throughput_t)
+        else:
+            if has_grids:
+                grid = row(attrs_t, "temp_grid").astype(jnp.int32)
+                gwh = sub["temp_grid_wh"].start
+                temp = sample_nearest_wh(scene.temp_grids, grid,
+                                         attrs_t[gwh], attrs_t[gwh + 1],
+                                         uvu, uvv)
+                bbp_t = planck.planck_bbp(temp + planck.CELSIUS_OFFSET,
+                                          scene.wavenumbers).T   # [nw, N]
+                eps_t = rows(attrs_t, "eps_curve")
+                has_grid = (grid >= 0)[None, :]
+                emis_eff = jnp.where(has_grid, bbp_t * eps_t, emis_t)
+                refl_eff = jnp.where(has_grid, bbp_t * (1.0 - eps_t), refl_t)
+            else:
+                emis_eff = emis_t
+                refl_eff = refl_t
+            contrib = (miss[None, :] * scene.sky[:, None]
+                       + killed[None, :] * emis_t
+                       + survive[None, :] * emis_eff)
+            radiance_t = radiance_t + throughput_t * contrib
+            throughput_t = jnp.where(survive[None, :],
+                                     throughput_t * refl_eff, throughput_t)
 
         # ---- bounce ----
         if use_dispersion:
@@ -459,11 +514,16 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         return (rox, roy, roz, rdx, rdy, rdz,
                 throughput_t, radiance_t, inside, alive, rays_traced)
 
-    throughput0 = (hero_onehot_t * jnp.float32(nw) if use_dispersion
-                   else jnp.ones((nw, n), jnp.float32))
+    if use_dispersion:
+        # hero estimator: E[nw * onehot(hero)] = 1 per channel; packed as a
+        # scalar per ray, scattered to [nw, N] once at the end
+        throughput0 = jnp.full((n,), jnp.float32(nw))
+        radiance0 = jnp.zeros((n,), jnp.float32)
+    else:
+        throughput0 = jnp.ones((nw, n), jnp.float32)
+        radiance0 = jnp.zeros((nw, n), jnp.float32)
     state = (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
-             throughput0,
-             jnp.zeros((nw, n), jnp.float32),
+             throughput0, radiance0,
              jnp.zeros(n, bool),
              jnp.ones(n, bool),
              jnp.zeros((), jnp.int32))
@@ -480,7 +540,12 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                                                     state[9], state[10])
 
     # depth-cap fall-through: surviving rays see the sky (pathtracer.cpp:536-540)
-    radiance_t = radiance_t + alive[None, :] * throughput_t * scene.sky[:, None]
+    if use_dispersion:
+        radiance_s = radiance_t + alive * throughput_t * sky_hero
+        radiance_t = hero_onehot_t * radiance_s      # scatter to [nw, N]
+    else:
+        radiance_t = (radiance_t
+                      + alive[None, :] * throughput_t * scene.sky[:, None])
     return TraceResult(radiance_t.T, rays_traced)
 
 

@@ -59,6 +59,19 @@ def planck_bbp(temperature_k, wavenumbers):
     return jnp.where(t > 0.0, val, 0.0)
 
 
+def planck_bbp_elem(temperature_k, wavenumber):
+    """Elementwise ``BBP``: temperature and wavenumber share a shape (hero-
+    wavelength dispersion path — one wavenumber per ray). Identical formula
+    and constants to :func:`planck_bbp`, so a ray whose hero wavenumber is
+    ``wavenumbers[h]`` gets the bit-identical radiance of channel ``h``."""
+    t = jnp.asarray(temperature_k, jnp.float32)
+    v = jnp.asarray(wavenumber, jnp.float32)
+    num = 2e8 * (_H * _C * _C) * v * v * v
+    x = 100.0 * _H * _C * v / _K / jnp.where(t > 0.0, t, 1.0)
+    val = num / (jnp.exp(x) - 1.0)
+    return jnp.where(t > 0.0, val, 0.0)
+
+
 def planck_bbp_np(temperature_k, wavenumbers) -> np.ndarray:
     """Host (numpy) twin of ``planck_bbp`` for scene baking — keeps
     scene compilation free of device round-trips."""
