@@ -273,10 +273,60 @@ json.dump(results, open({out_json!r}, "w"))
                correctness_only=True, **entry)
 
 
+def terrain_scene(res, obj_name, depth=3):
+    """Large-scene stress config (procedural terrain + rocks; the asset is
+    generated on demand — it is deliberately not checked in)."""
+    from pathtracing_spectrum_tpu import Material, MaterialType, Scene, \
+        SpectrumMaterial
+    path = os.path.join(ASSETS, obj_name)
+    if not os.path.exists(path):
+        subprocess.run([sys.executable,
+                        os.path.join(ASSETS, "make_assets.py")], check=True)
+    sc = Scene()
+    sc.wavelengths = [500.0, 1000.0, 1500.0, 2000.0]
+    sc.spectrum_materials = [
+        SpectrumMaterial("ground", [0.7, 0.75, 0.8, 0.7]),
+        SpectrumMaterial("rock", [0.5, 0.55, 0.5, 0.45]),
+        SpectrumMaterial("emitter", [1.0] * 4),
+    ]
+    sc.trace_depth = depth
+    sc.resolution = res
+    obj = sc.load_object(path)
+    mats = {
+        "terrain": Material(type=MaterialType.DIFFUSE, spectrum_mat_id=0,
+                            temperature=15.0),
+        "rocks": Material(type=MaterialType.GLOSSY, spectrum_mat_id=1,
+                          temperature=15.0, roughness=0.3),
+        "light": Material(type=MaterialType.DIFFUSE, spectrum_mat_id=2,
+                          temperature=450.0),
+    }
+    for i, el in enumerate(obj.elements):
+        sc.set_material(0, i, mats[el.name])
+    sc.set_camera([0.0, 4.0, -10.0], [0.0, 0.5, 0.0])
+    sc.camera_fovy = 55.0
+    return sc
+
+
+def config6_large_scenes():
+    """Beyond the 5 BASELINE configs: large-scene capability anchors for the
+    hierarchical (shortlist) intersection path — the reference's log-time
+    BVH traversal analog (mesh.cpp:239-280)."""
+    for name, obj_name, spp in (("terrain_52k_512", "terrain_52k.obj", 8),
+                                ("terrain_200k_512", "terrain_200k.obj", 4)):
+        sc = terrain_scene((512, 512), obj_name)
+        s = _session(sc)
+        dt, st = _timed_spp(s, spp, batch=spp)
+        report(name, spp=spp, seconds=round(dt, 3),
+               triangles=st["triangles"],
+               spp_per_sec=round(spp / dt, 2),
+               mrays_per_sec=round(st["mrays_per_s"], 1))
+
+
 def main():
     t0 = time.time()
     for fn in (config1_cornell, config2_dispersion, config3_textured_1080p,
-               config4_mixed_depth8, config5_multichip_4k):
+               config4_mixed_depth8, config5_multichip_4k,
+               config6_large_scenes):
         try:
             fn()
         except Exception as e:  # keep the suite running; record the failure

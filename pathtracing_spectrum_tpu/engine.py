@@ -150,6 +150,10 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
     n_tris = scene.tri_shade.shape[0]
     lay = shade_layout(nw)
     has_tex = scene.textures.shape[0] > 0
+    # per-kind static gates: a 2M-ray texel gather for a texture kind no
+    # element binds is pure waste (~10 ms/bounce at 1080p, measured)
+    has_ntex = has_tex and scene.normal_tex_any.shape[0] > 0
+    has_rtex = has_tex and scene.roughness_tex_any.shape[0] > 0
     has_grids = scene.temp_grids.shape[0] > 0
     backend = resolve_backend(backend, n_tris=n_tris)
 
@@ -182,9 +186,11 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
     if not kernel_bary:
         for nm in ("v1", "e1", "e2", "d00", "d01", "d11"):
             want(nm)
-    if has_tex:
-        for nm in ("tangent", "bitangent", "normal_tex", "roughness_tex",
-                   "normal_tex_wh", "roughness_tex_wh"):
+    if has_ntex:
+        for nm in ("tangent", "bitangent", "normal_tex", "normal_tex_wh"):
+            want(nm)
+    if has_rtex:
+        for nm in ("roughness_tex", "roughness_tex_wh"):
             want(nm)
     if has_grids:
         for nm in ("eps_curve", "temp_grid", "temp_grid_wh"):
@@ -383,7 +389,7 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         nz = jnp.where(backface, -nz, nz)
 
         roughness = row(attrs_t, "roughness")
-        if has_tex:
+        if has_ntex:
             ntex = row(attrs_t, "normal_tex").astype(jnp.int32)
             nwh = sub["normal_tex_wh"].start
             tex = sample_nearest_wh(scene.textures, ntex,
@@ -403,6 +409,7 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
             ny = jnp.where(use_map, mny, ny)
             nz = jnp.where(use_map, mnz, nz)
 
+        if has_rtex:
             rtex = row(attrs_t, "roughness_tex").astype(jnp.int32)
             rwh = sub["roughness_tex_wh"].start
             rough_tex = sample_nearest_wh(scene.textures, rtex,

@@ -42,6 +42,25 @@ _RB = 8                     # ray rows per block (block = 8 x 128 = 1024 rays)
 KC = 8                      # clusters per group
 GROUP_T = KC * CLUSTER      # triangles per group (DMA unit, 64 KiB)
 
+# SMEM budget for EACH prefetch array (order/tnear are [n_blocks x G] i32).
+# When a (resolution, triangle-count) pair exceeds it, shortlists are built
+# per SUPER-block of 2^k kernel blocks instead (looser bounds, same kernel-
+# side per-cluster/per-row culling), keeping SMEM bounded at any scale.
+_SMEM_SHORTLIST_BYTES = 256 * 1024
+
+# Tuning knobs (trace-time; benchmark sweeps patch these per process).
+# Front-to-back group early exit on best-t: exact-match correct but measured
+# a small NET LOSS on v5e (52k terrain 3.93 vs 4.15 spp/s; 1080p 1.586 vs
+# 1.605) — the per-step scalar reduce + SMEM compare costs more than the
+# skipped groups save once the shortlist is already short. Off by default.
+_EARLY_EXIT = False
+# Per-row (128-ray) cluster culling: exact-match correct, but measured a
+# NET LOSS on v5e (1080p textured: 0.94 vs 1.61 spp/s; 52k terrain: 3.88
+# vs 4.15) — the 8 extra pl.when branches per cluster stall the unrolled
+# vector pipeline for longer than the skipped sweeps take. Kept as an off-
+# by-default knob; re-evaluate on hardware with cheaper scalar branches.
+_ROW_CULL = False
+
 
 # ---------------------------------------------------------------------------
 # Stage 1: per-block group shortlists via interval arithmetic (plain XLA).
@@ -80,7 +99,7 @@ def group_aabbs_from_clusters(cluster_aabbs, n_groups: int):
     return jnp.concatenate([gmin, gmax], axis=1), jnp.isfinite(gmin[:, 0])
 
 
-def build_shortlists(rays, group_aabb, group_valid):
+def build_shortlists(rays, group_aabb, group_valid, block_rows: int = _RB):
     """Front-to-back group shortlists per ray block.
 
     Args:
@@ -88,13 +107,15 @@ def build_shortlists(rays, group_aabb, group_valid):
         parked rays have rd == 0 and are excluded from the bounds.
       group_aabb: [G, 6] (min3, max3).
       group_valid: [G] bool.
+      block_rows: rows of 128 rays per shortlist block (a multiple of the
+        kernel block ``_RB`` when super-blocking for the SMEM budget).
 
     Returns (order [NB, G] int32 front-to-back group ids, counts [NB] int32,
     tnear [NB, G] f32 entry-t lower bound in shortlist order, BIG past count).
     """
     rows_total = rays.shape[1]
-    nb = rows_total // _RB
-    r = rays.reshape(6, nb, _RB * _LANES)
+    nb = rows_total // block_rows
+    r = rays.reshape(6, nb, block_rows * _LANES)
     parked = (r[3] == 0.0) & (r[4] == 0.0) & (r[5] == 0.0)   # [NB, B]
 
     def bounds(plane):
@@ -139,10 +160,10 @@ def build_shortlists(rays, group_aabb, group_valid):
 # ---------------------------------------------------------------------------
 
 
-def _sl_kernel(counts_ref, sl_ref, ray_ref, tri_ref, aabb_ref,
+def _sl_kernel(counts_ref, sl_ref, tnear_ref, ray_ref, tri_ref, aabb_ref,
                best_t_ref, best_i_ref, best_s2_ref, best_s3_ref, *,
-               rows, kc):
-    i = pl.program_id(0)
+               rows, kc, sb):
+    i = pl.program_id(0) // sb      # shortlist (super-)block index
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -152,7 +173,23 @@ def _sl_kernel(counts_ref, sl_ref, ray_ref, tri_ref, aabb_ref,
         best_s2_ref[:] = jnp.zeros_like(best_s2_ref)
         best_s3_ref[:] = jnp.zeros_like(best_s3_ref)
 
+    # Front-to-back early exit: the shortlist is sorted by the group's
+    # entry-t lower bound, so once that bound strictly exceeds the worst
+    # live best-t in the block, no remaining group can produce a closer hit
+    # (ties stay processed -> the lowest-index tie rule is preserved and
+    # results remain bit-identical). Parked rays (zero direction) never hit
+    # and keep best_t == BIG, so they are masked out of the worst.
     active = j < counts_ref[i]
+    if _EARLY_EXIT:
+        parked = ((ray_ref[3] == 0.0) & (ray_ref[4] == 0.0)
+                  & (ray_ref[5] == 0.0))
+        # compare in int32 bit-pattern space: tnear/best_t are non-negative
+        # floats (bit order == float order); parked rays mask to -1 so an
+        # all-parked block compares below every tnear and shortlists to zero
+        best_bits = jax.lax.bitcast_convert_type(best_t_ref[:], jnp.int32)
+        worst = jnp.max(jnp.where(parked, jnp.int32(-1), best_bits))
+        tnear_j = tnear_ref[i * pl.num_programs(1) + j]
+        active = active & (tnear_j <= worst)
 
     @pl.when(active)
     def _():
@@ -169,14 +206,20 @@ def _sl_kernel(counts_ref, sl_ref, ray_ref, tri_ref, aabb_ref,
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, _LANES), 0)
 
         for c in range(kc):
-            any_hit = jnp.any(_slab_block(
+            slab = _slab_block(
                 rox_b, roy_b, roz_b, inv_xb, inv_yb, inv_zb,
                 aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2],
                 aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5],
-                best_t_ref[:]))
+                best_t_ref[:])
+            # per-ROW cluster culling (8x finer than whole-block): after
+            # reordering, rows are coherent 128-ray subgroups, so rows that
+            # provably miss this cluster skip its 128-triangle sweep.
+            # int32, not bool: Mosaic can only extract 32-bit scalars.
+            row_any = (jnp.any(slab, axis=1).astype(jnp.int32) if _ROW_CULL
+                       else None)
 
-            @pl.when(any_hit)
-            def _(c=c):
+            @pl.when(jnp.any(slab))
+            def _(c=c, row_any=row_any):
                 base = c * CLUSTER
                 nx = tri_ref[base:base + CLUSTER, 0:1]
                 ny = tri_ref[base:base + CLUSTER, 1:2]
@@ -197,70 +240,88 @@ def _sl_kernel(counts_ref, sl_ref, ray_ref, tri_ref, aabb_ref,
                 tri_base = gidx * GROUP_T + base
 
                 for r in range(rows):
-                    rox = ray_ref[0, r:r + 1, :]
-                    roy = ray_ref[1, r:r + 1, :]
-                    roz = ray_ref[2, r:r + 1, :]
-                    rdx = ray_ref[3, r:r + 1, :]
-                    rdy = ray_ref[4, r:r + 1, :]
-                    rdz = ray_ref[5, r:r + 1, :]
+                    def _row_body(r=r):
+                        rox = ray_ref[0, r:r + 1, :]
+                        roy = ray_ref[1, r:r + 1, :]
+                        roz = ray_ref[2, r:r + 1, :]
+                        rdx = ray_ref[3, r:r + 1, :]
+                        rdy = ray_ref[4, r:r + 1, :]
+                        rdz = ray_ref[5, r:r + 1, :]
 
-                    denom = rdx * nx + rdy * ny + rdz * nz
-                    ro_n = rox * nx + roy * ny + roz * nz
-                    safe = jnp.where(denom == 0.0, 1.0, denom)
-                    t = (c0 - ro_n) / safe
-                    s1 = (rox * k1x + roy * k1y + roz * k1z
-                          + t * (rdx * k1x + rdy * k1y + rdz * k1z) - c1)
-                    s2 = (rox * k2x + roy * k2y + roz * k2z
-                          + t * (rdx * k2x + rdy * k2y + rdz * k2z) - c2)
-                    s3 = (rox * k3x + roy * k3y + roz * k3z
-                          + t * (rdx * k3x + rdy * k3y + rdz * k3z) - c3)
-                    valid = ((denom != 0.0) & (t >= 0.0)
-                             & (s1 >= 0.0) & (s2 >= 0.0) & (s3 >= 0.0))
-                    tt = jnp.where(valid, t, BIG)
+                        denom = rdx * nx + rdy * ny + rdz * nz
+                        ro_n = rox * nx + roy * ny + roz * nz
+                        safe = jnp.where(denom == 0.0, 1.0, denom)
+                        t = (c0 - ro_n) / safe
+                        s1 = (rox * k1x + roy * k1y + roz * k1z
+                              + t * (rdx * k1x + rdy * k1y + rdz * k1z) - c1)
+                        s2 = (rox * k2x + roy * k2y + roz * k2z
+                              + t * (rdx * k2x + rdy * k2y + rdz * k2z) - c2)
+                        s3 = (rox * k3x + roy * k3y + roz * k3z
+                              + t * (rdx * k3x + rdy * k3y + rdz * k3z) - c3)
+                        valid = ((denom != 0.0) & (t >= 0.0)
+                                 & (s1 >= 0.0) & (s2 >= 0.0) & (s3 >= 0.0))
+                        tt = jnp.where(valid, t, BIG)
 
-                    tmin = jnp.min(tt, axis=0, keepdims=True)
-                    cand = jnp.where(tt == tmin, lane_iota, CLUSTER)
-                    amin = jnp.min(cand, axis=0,
-                                   keepdims=True).astype(jnp.int32)
-                    win = lane_iota == amin
-                    s2_sel = jnp.sum(jnp.where(win, s2, 0.0), axis=0,
-                                     keepdims=True)
-                    s3_sel = jnp.sum(jnp.where(win, s3, 0.0), axis=0,
-                                     keepdims=True)
+                        tmin = jnp.min(tt, axis=0, keepdims=True)
+                        cand = jnp.where(tt == tmin, lane_iota, CLUSTER)
+                        amin = jnp.min(cand, axis=0,
+                                       keepdims=True).astype(jnp.int32)
+                        win = lane_iota == amin
+                        s2_sel = jnp.sum(jnp.where(win, s2, 0.0), axis=0,
+                                         keepdims=True)
+                        s3_sel = jnp.sum(jnp.where(win, s3, 0.0), axis=0,
+                                         keepdims=True)
 
-                    cur_t = best_t_ref[r:r + 1, :]
-                    # groups arrive front-to-back (not in index order), so
-                    # exact ties need the explicit lowest-index rule to stay
-                    # bit-identical to the dense sweep
-                    tie = ((tmin == cur_t) & (tmin < BIG)
-                           & (tri_base + amin < best_i_ref[r:r + 1, :]))
-                    better = ((tmin < cur_t) & (tmin < BIG)) | tie
-                    best_t_ref[r:r + 1, :] = jnp.where(better, tmin, cur_t)
-                    best_i_ref[r:r + 1, :] = jnp.where(
-                        better, tri_base + amin, best_i_ref[r:r + 1, :])
-                    best_s2_ref[r:r + 1, :] = jnp.where(
-                        better, s2_sel, best_s2_ref[r:r + 1, :])
-                    best_s3_ref[r:r + 1, :] = jnp.where(
-                        better, s3_sel, best_s3_ref[r:r + 1, :])
+                        cur_t = best_t_ref[r:r + 1, :]
+                        # groups arrive front-to-back (not in index order),
+                        # so exact ties need the explicit lowest-index rule
+                        # to stay bit-identical to the dense sweep
+                        tie = ((tmin == cur_t) & (tmin < BIG)
+                               & (tri_base + amin < best_i_ref[r:r + 1, :]))
+                        better = ((tmin < cur_t) & (tmin < BIG)) | tie
+                        best_t_ref[r:r + 1, :] = jnp.where(better, tmin,
+                                                           cur_t)
+                        best_i_ref[r:r + 1, :] = jnp.where(
+                            better, tri_base + amin, best_i_ref[r:r + 1, :])
+                        best_s2_ref[r:r + 1, :] = jnp.where(
+                            better, s2_sel, best_s2_ref[r:r + 1, :])
+                        best_s3_ref[r:r + 1, :] = jnp.where(
+                            better, s3_sel, best_s3_ref[r:r + 1, :])
+
+                    if _ROW_CULL:
+                        pl.when(row_any[r] != 0)(_row_body)
+                    else:
+                        _row_body()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "sb"))
 def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
-                                   cluster_aabbs, interpret: bool = False):
+                                   cluster_aabbs, interpret: bool = False,
+                                   sb: int = 0):
     """Closest hit via the shortlist-driven cluster kernel.
 
     Args:
       rox..rdz: [N] ray component planes (parked rays: rd == 0).
       tri_pack: [T, 16] packed table (pack_tri16), BVH-ordered.
       cluster_aabbs: [ceil(T/CLUSTER), 8] from build_cluster_aabbs.
+      sb: super-block factor override (0 = auto from the SMEM budget).
 
     Returns (hit [N] bool, t [N], idx [N] int32, s2 [N], s3 [N]),
     idx in BVH order — identical selection to the dense sweep.
     """
     n = rox.shape[0]
     t_count = tri_pack.shape[0]
+    n_groups_est = -(-max(t_count, 1) // GROUP_T)
 
-    block = _RB * _LANES
+    if sb <= 0:
+        # super-block factor: grow shortlist blocks (in whole kernel blocks)
+        # until BOTH [NB, G] prefetch arrays fit the SMEM budget
+        sb = 1
+        while ((-(-n // (sb * _RB * _LANES))) * n_groups_est * 4
+               > _SMEM_SHORTLIST_BYTES):
+            sb *= 2
+
+    block = sb * _RB * _LANES
     pad_n = (-n) % block
     comps = (rox, roy, roz, rdx, rdy, rdz)
     if pad_n:
@@ -268,7 +329,7 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
         comps = tuple(jnp.concatenate([c, zeros]) for c in comps)
     n_pad = n + pad_n
     rows_total = n_pad // _LANES
-    nb = rows_total // _RB
+    nb = rows_total // _RB          # KERNEL blocks (grid dim 0)
     rays = jnp.stack(comps).reshape(6, rows_total, _LANES)
 
     pad_t = (-t_count) % GROUP_T
@@ -286,37 +347,43 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
 
     group_aabb, group_valid = group_aabbs_from_clusters(cluster_aabbs,
                                                         n_groups)
-    order, counts, _ = build_shortlists(rays, group_aabb, group_valid)
+    order, counts, tnear = build_shortlists(rays, group_aabb, group_valid,
+                                            block_rows=sb * _RB)
     # masked steps (j >= count) clamp to the last real entry, so the block
     # pipeline sees a repeated index and skips the DMA entirely
     clamp = jnp.maximum(counts - 1, 0)[:, None]
     order = jnp.where(jnp.arange(n_groups, dtype=jnp.int32)[None, :]
                       <= clamp, order, jnp.take_along_axis(order, clamp, 1))
-    # 1-D prefetch array: a 2-D [nb, G] SMEM array would be lane-padded to
-    # [nb, 128] and blow the 1 MiB SMEM budget at high resolutions
+    # 1-D prefetch arrays: a 2-D [nb, G] SMEM array would be lane-padded to
+    # [nb, 128] and blow the 1 MiB SMEM budget at high resolutions. tnear
+    # rides as int32 bit patterns (non-negative floats sort/compare as ints).
     order = order.reshape(-1)
+    tnear_i32 = jax.lax.bitcast_convert_type(tnear, jnp.int32).reshape(-1)
 
     grid = (nb, n_groups)
-    out_spec = pl.BlockSpec((_RB, _LANES), lambda i, j, counts, sl: (i, 0),
+    out_spec = pl.BlockSpec((_RB, _LANES),
+                            lambda i, j, counts, sl, tn: (i, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
             pl.BlockSpec((6, _RB, _LANES),
-                         lambda i, j, counts, sl: (0, i, 0),
+                         lambda i, j, counts, sl, tn: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP_T, 16),
-                         lambda i, j, counts, sl: (sl[i * n_groups + j], 0),
+                         lambda i, j, counts, sl, tn:
+                         (sl[(i // sb) * n_groups + j], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((KC, 8),
-                         lambda i, j, counts, sl: (sl[i * n_groups + j], 0),
+                         lambda i, j, counts, sl, tn:
+                         (sl[(i // sb) * n_groups + j], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec] * 4,
     )
     best_t, best_i, best_s2, best_s3 = pl.pallas_call(
-        functools.partial(_sl_kernel, rows=_RB, kc=KC),
+        functools.partial(_sl_kernel, rows=_RB, kc=KC, sb=sb),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),
@@ -325,7 +392,7 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
             jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, order, rays, tri_pack, cluster_aabbs)
+    )(counts, order, tnear_i32, rays, tri_pack, cluster_aabbs)
 
     best_t = best_t.reshape(n_pad)[:n]
     best_i = best_i.reshape(n_pad)[:n]

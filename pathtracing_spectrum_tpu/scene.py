@@ -83,6 +83,11 @@ class SceneData(NamedTuple):
     # texture tables
     textures: jnp.ndarray        # [K, Hm, Wm, 4]
     texture_sizes: jnp.ndarray   # [K, 2] (w, h)
+    # static shape markers ([1] if any element binds that texture kind, else
+    # [0]): jitted code skips the per-kind 2M-ray sample gather entirely when
+    # nothing uses it (shape, not value, so it stays compile-time)
+    normal_tex_any: jnp.ndarray
+    roughness_tex_any: jnp.ndarray
     temp_grids: jnp.ndarray      # [K2, Hm2, Wm2]
     temp_grid_sizes: jnp.ndarray  # [K2, 2]
 
@@ -562,6 +567,9 @@ class Scene:
             mat_normal_tex=dev(mat_ntex), mat_roughness_tex=dev(mat_rtex),
             mat_temp_grid=dev(mat_grid),
             textures=dev(textures), texture_sizes=dev(tex_sizes),
+            normal_tex_any=np.zeros((int((mat_ntex >= 0).any()),), np.float32),
+            roughness_tex_any=np.zeros((int((mat_rtex >= 0).any()),),
+                                       np.float32),
             temp_grids=dev(grids), temp_grid_sizes=dev(grid_sizes),
             wavenumbers=dev(wavenumbers), sky=dev(sky.astype(np.float32)),
             bvh_node_min=dev(node_min), bvh_node_max=dev(node_max),
