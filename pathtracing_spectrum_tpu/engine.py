@@ -58,7 +58,7 @@ from .scene import SceneData
 from .ops import planck, sampling
 from .ops.shade_pack import layout as shade_layout
 from .ops.intersect import intersect_bruteforce
-from .ops.intersect_pallas import (intersect_clustered_pallas_soa,
+from .ops.intersect_pallas import (BIG, intersect_clustered_pallas_soa,
                                    intersect_dense_pallas_soa, pack_tri16)
 from .ops.bvh import intersect_bvh
 from .ops.texturing import sample_nearest_wh
@@ -251,10 +251,13 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
             whole tail blocks go fully-parked and shortlist to zero groups.
             Uses lax.sort (argsort): measured against cumsum counting /
             radix schemes on v5e, the bitonic sort wins (XLA lowers cumsum
-            to ~log2(N) full passes, costing 3-4x argsort at any N); at 2M
-            rays the dominant cost is the 11 permutation gathers either way
-            (~16 ms each, locality-independent), which is why auto-reorder
-            stays gated on triangle count."""
+            to ~log2(N) full passes, costing 3-4x argsort at any N). The
+            permutation is APPLIED as one packed row gather + one packed
+            row scatter (see the do_sort branch): XLA's per-element gather
+            runs ~500 MB/s on TPU regardless of locality, while row
+            gathers of 24-byte rows run ~10x faster — per-plane indexing
+            was the dominant cost of the whole bounce (61 ms of a 258 ms
+            6-bounce sample at 262k rays/52k tris, measured)."""
             cells = 1 << _POS_BITS
 
             def q(v, lo, ie):
@@ -275,10 +278,7 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
             key = (octant << (3 * _POS_BITS)) | m
             # dead rays -> top bucket (one extra key bit)
             key = jnp.where(alive, key, jnp.int32(1) << (3 * _POS_BITS + 3))
-            perm = jnp.argsort(key, stable=True).astype(jnp.int32)
-            inv = jnp.zeros_like(perm).at[perm].set(
-                jnp.arange(n, dtype=jnp.int32))
-            return perm, inv
+            return jnp.argsort(key, stable=True).astype(jnp.int32)
 
     def fetch_attrs_t(idx):
         """[F', N] attribute planes for each ray's hit triangle."""
@@ -328,14 +328,28 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.int32))
 
         if do_sort:
-            # sort only around the intersection: 6 gathers in, 5 out — the
-            # [nw, N] spectral state never moves
-            perm, inv = sort_perm(rox, roy, roz, rdx, rdy, rdz, alive)
-            hit, t, idx, s2, s3 = intersect(
-                rox[perm], roy[perm], roz[perm],
-                rdx[perm], rdy[perm], rdz[perm])
-            hit, t, idx, s2, s3 = (hit[inv], t[inv], idx[inv],
-                                   s2[inv], s3[inv])
+            # Sort only around the intersection; the [nw, N] spectral state
+            # never moves. The permutation is applied as ONE [N, 6] row
+            # gather in and ONE [N, 4] row scatter out (element gathers are
+            # ~10x slower than 16-24B row ops on TPU, and scattering by
+            # `perm` removes the inverse-permutation build entirely). idx
+            # rides the f32 pack as an exact float VALUE (f32 represents
+            # integers < 2^24 exactly; a bitcast would produce denormal bit
+            # patterns that TPU float ops flush to zero); `hit` is
+            # recomputed from t < BIG, exactly how the kernel derives it.
+            perm = sort_perm(rox, roy, roz, rdx, rdy, rdz, alive)
+            packed = jnp.stack([rox, roy, roz, rdx, rdy, rdz],
+                               axis=1)[perm]                       # [N, 6]
+            hit_s, t_s, idx_s, s2_s, s3_s = intersect(
+                packed[:, 0], packed[:, 1], packed[:, 2],
+                packed[:, 3], packed[:, 4], packed[:, 5])
+            assert n_tris < (1 << 24), "float-exact idx pack needs T < 2^24"
+            res = jnp.stack(
+                [t_s, s2_s, s3_s, idx_s.astype(jnp.float32)], axis=1)
+            out = jnp.zeros_like(res).at[perm].set(res)            # unsort
+            t, s2, s3 = out[:, 0], out[:, 1], out[:, 2]
+            idx = out[:, 3].astype(jnp.int32)
+            hit = t < BIG   # exactly how every intersect backend derives it
         else:
             hit, t, idx, s2, s3 = intersect(rox, roy, roz, rdx, rdy, rdz)
         hit = hit & alive
