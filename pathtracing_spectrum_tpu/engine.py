@@ -70,14 +70,25 @@ ONEHOT_FETCH_MAX_BYTES = 256 * 1024 * 1024
 # "auto" backend: dense sweep below this triangle count.
 DENSE_AUTO_MAX_TRIS = 512
 
-# "auto" bounce-ray reorder: only above this triangle count. Below it the
-# shortlist has only a handful of groups to cull, and the per-bounce argsort
-# is pure overhead (measured 1080p/2.2k tris: 1.61 -> 0.45 spp/s with an
-# unconditional sort; 52k tris: 1.28 -> 2.45 spp/s with it).
-REORDER_AUTO_MIN_TRIS = 8192
+# "auto" bounce-ray reorder: only above this triangle count. With the
+# segmented sort + packed row-gather application the reorder pays from a
+# couple thousand triangles up (1080p/2.2k tris: 1.95 -> 2.33 spp/s; 52k:
+# 2.9 -> 6.5); below ~1k the shortlist has almost nothing to cull and the
+# per-bounce sort is pure overhead.
+REORDER_AUTO_MIN_TRIS = 1024
 
 # Reorder key layout: morton bits per origin axis.
 REORDER_POS_BITS = 4
+
+# Reorder sorts run per SEGMENT of this many rays, not globally: XLA's
+# bitonic sort on a [S, L] batch keeps each segment's network in VMEM
+# (measured 3.1 ms vs 30.4 ms for a global 2M-key argsort on v5e), and a
+# segment-local permutation lets the inverse be another cheap segmented
+# argsort instead of a scatter (85 ms for a [2M, 4] row scatter!). Rays
+# only move within their segment — dead-ray compaction and octant grouping
+# become per-segment, which block-level culling is equally happy with
+# (segment = 64 blocks of 1024 rays).
+REORDER_SEGMENT = 65536
 
 
 def resolve_backend(backend: str, n_tris: int) -> str:
@@ -106,67 +117,15 @@ class TraceResult(NamedTuple):
     rays_traced: jnp.ndarray  # [] int32 — total rays cast (for Mrays/s)
 
 
-def _norm3(x, y, z):
-    # rsqrt is a fast native VPU op; sqrt+divide chains profiled ~2 GB/s
-    s = x * x + y * y + z * z
-    inv = jnp.where(s > 0, jax.lax.rsqrt(jnp.where(s > 0, s, 1.0)), 0.0)
-    return x * inv, y * inv, z * inv
+def _column_subset(lay, backend: str, has_ntex: bool, has_rtex: bool,
+                   has_grids: bool, want_ior: bool):
+    """Static column subset of the packed shading table for one config.
 
-
-def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
-                   backend: str = "auto", leaf_size: int = 4,
-                   rand_override: Optional[jnp.ndarray] = None,
-                   dispersion: bool = False,
-                   reorder: object = "auto") -> TraceResult:
-    """Trace radiance spectra for a batch of rays.
-
-    Args:
-      scene: compiled scene.
-      ro, rd: [N, 3] primary rays.
-      key: PRNG key for this sample.
-      max_depth: the reference's trace depth (GUI range 1..10); the loop runs
-        2*max_depth hit iterations (pathtracer.cpp:455).
-      backend: "auto", "dense", "dense_pallas" or "bvh".
-      rand_override: optional [2*max_depth, 4, N] fixed U[0,1) variates
-        (testing: lets a host oracle replay the identical sequence).
-      dispersion: hero-wavelength mode — each ray samples ONE wavelength
-        channel (throughput = nw * onehot(hero), an unbiased estimator of
-        the per-channel image) and GLASS refracts with that channel's
-        Cauchy index from the material's ior/dispersion_b instead of the
-        reference's fixed 1.5. Off by default (reference parity).
-      reorder: sort bounce rays by (direction octant, origin morton cell)
-        before each intersection from bounce 1 on, so the block-granular
-        culling in the cluster/shortlist kernels sees coherent blocks and
-        fully-terminated blocks compact to the tail. "auto" = on exactly for
-        those kernels on TPU; True/False force it. Per-ray hit selection is
-        order-independent (conservative block culls + the lowest-index tie
-        rule), so results are bit-identical either way.
-
-    Returns:
-      TraceResult(radiance [N, nw], rays_traced scalar).
-    """
-    n = ro.shape[0]
-    nw = scene.wavenumbers.shape[0]
-    n_tris = scene.tri_shade.shape[0]
-    lay = shade_layout(nw)
-    has_tex = scene.textures.shape[0] > 0
-    # per-kind static gates: a 2M-ray texel gather for a texture kind no
-    # element binds is pure waste (~10 ms/bounce at 1080p, measured)
-    has_ntex = has_tex and scene.normal_tex_any.shape[0] > 0
-    has_rtex = has_tex and scene.roughness_tex_any.shape[0] > 0
-    has_grids = scene.temp_grids.shape[0] > 0
-    backend = resolve_backend(backend, n_tris=n_tris)
-
-    tri16 = (pack_tri16(scene.tri_face_n, scene.tri_k1, scene.tri_k2,
-                        scene.tri_k3, scene.tri_consts)
-             if backend in ("dense_pallas", "cluster", "shortlist")
-             else None)
-
-    # ---- column-subset attribute fetch ----
-    # Only the attribute rows this configuration actually reads are fetched
-    # (barycentric alpha/beta now come from the intersection's s2/s3, so the
-    # geometry rows v1/e1/e2/d00/d01/d11 are never needed). The subset is
-    # static, so both the one-hot matmul and the gather shrink accordingly.
+    Only the attribute rows this configuration actually reads are fetched
+    (barycentric alpha/beta come from the intersection's s2/s3 on kernels
+    that return them, so the geometry rows v1/e1/e2/d00/d01/d11 are only
+    needed on the dense-pallas path). Returns (sub: name -> row slice in
+    the subset, cols_idx int32 array of source columns)."""
     needed: list = []
     sub: dict = {}
 
@@ -175,15 +134,11 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         sub[name] = slice(len(needed), len(needed) + cols.stop - cols.start)
         needed.extend(range(cols.start, cols.stop))
 
-    # the dense Pallas kernel omits the s2/s3 winner selection (it costs
-    # ~12% there); that backend computes barycentrics from fetched geometry
-    kernel_bary = backend != "dense_pallas"
-
     for nm in ("uv1", "uv2", "uv3", "face_n", "n1", "n2", "n3", "smoothing",
                "inv_denom", "mat_type", "rr_prob", "roughness",
                "emissivity", "reflectivity"):
         want(nm)
-    if not kernel_bary:
+    if backend == "dense_pallas":
         for nm in ("v1", "e1", "e2", "d00", "d01", "d11"):
             want(nm)
     if has_ntex:
@@ -195,12 +150,46 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
     if has_grids:
         for nm in ("eps_curve", "temp_grid", "temp_grid_wh"):
             want(nm)
-    if dispersion and nw > 0:
+    if want_ior:
         want("ior_curve")
+    return sub, jnp.asarray(needed, jnp.int32)
 
-    cols_idx = jnp.asarray(needed, jnp.int32)
-    shade_sub = scene.tri_shade[:, cols_idx]   # [T, F'] — hoisted
-    shade_sub_t = shade_sub.T                  # [F', T]
+
+def _fetch_attrs_t(idx, shade_sub, shade_sub_t, on_pallas: bool):
+    """[F', N] attribute planes for each ray's hit triangle."""
+    n = idx.shape[0]
+    n_tris = shade_sub.shape[0]
+    if on_pallas:
+        from .ops.fetch_pallas import fetch_rows_pallas
+        return fetch_rows_pallas(idx, shade_sub)
+    if n_tris * n * 4 <= ONEHOT_FETCH_MAX_BYTES:
+        onehot_t = (jnp.arange(n_tris, dtype=jnp.int32)[:, None]
+                    == idx[None, :]).astype(jnp.float32)   # [T, N]
+        return jnp.dot(shade_sub_t, onehot_t,
+                       preferred_element_type=jnp.float32)
+    # barrier: otherwise XLA re-fuses this gather into each downstream
+    # fusion and runs it several times (profiled: 4x94 ms per sample at
+    # 1080p without it)
+    return jax.lax.optimization_barrier(shade_sub[idx].T)
+
+
+def _texture_flags(scene: SceneData):
+    has_tex = scene.textures.shape[0] > 0
+    return (has_tex and scene.normal_tex_any.shape[0] > 0,
+            has_tex and scene.roughness_tex_any.shape[0] > 0,
+            scene.temp_grids.shape[0] > 0)
+
+
+def make_intersector(scene: SceneData, backend: str, leaf_size: int = 4):
+    """Resolve the backend and return ``intersect(ox..dz) -> (hit, t, idx,
+    s2, s3)`` over [N] component planes. Shared by the per-bounce loop and
+    the primary-hit hoist in :func:`render_samples`."""
+    n_tris = scene.tri_shade.shape[0]
+    backend = resolve_backend(backend, n_tris=n_tris)
+    tri16 = (pack_tri16(scene.tri_face_n, scene.tri_k1, scene.tri_k2,
+                        scene.tri_k3, scene.tri_consts)
+             if backend in ("dense_pallas", "cluster", "shortlist")
+             else None)
 
     def intersect(ox, oy, oz, dx, dy, dz):
         if backend == "dense_pallas":
@@ -226,6 +215,75 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                              scene.bvh_node_first, scene.bvh_node_count,
                              leaf_size=leaf_size)
 
+    return intersect, backend
+
+
+def _norm3(x, y, z):
+    # rsqrt is a fast native VPU op; sqrt+divide chains profiled ~2 GB/s
+    s = x * x + y * y + z * z
+    inv = jnp.where(s > 0, jax.lax.rsqrt(jnp.where(s > 0, s, 1.0)), 0.0)
+    return x * inv, y * inv, z * inv
+
+
+def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
+                   backend: str = "auto", leaf_size: int = 4,
+                   rand_override: Optional[jnp.ndarray] = None,
+                   dispersion: bool = False,
+                   reorder: object = "auto",
+                   primary0=None) -> TraceResult:
+    """Trace radiance spectra for a batch of rays.
+
+    Args:
+      scene: compiled scene.
+      ro, rd: [N, 3] primary rays.
+      key: PRNG key for this sample.
+      max_depth: the reference's trace depth (GUI range 1..10); the loop runs
+        2*max_depth hit iterations (pathtracer.cpp:455).
+      backend: "auto", "dense", "dense_pallas" or "bvh".
+      rand_override: optional [2*max_depth, 4, N] fixed U[0,1) variates
+        (testing: lets a host oracle replay the identical sequence).
+      dispersion: hero-wavelength mode — each ray samples ONE wavelength
+        channel (throughput = nw * onehot(hero), an unbiased estimator of
+        the per-channel image) and GLASS refracts with that channel's
+        Cauchy index from the material's ior/dispersion_b instead of the
+        reference's fixed 1.5. Off by default (reference parity).
+      reorder: sort bounce rays by (direction octant, origin morton cell)
+        before each intersection from bounce 1 on, so the block-granular
+        culling in the cluster/shortlist kernels sees coherent blocks and
+        fully-terminated blocks compact to the tail. "auto" = on exactly for
+        those kernels on TPU; True/False force it. Per-ray hit selection is
+        order-independent (conservative block culls + the lowest-index tie
+        rule), so results are bit-identical either way.
+      primary0: optional (hit, t, idx, s2, s3) for THIS (ro, rd) batch. In
+        progressive (non-jitter) rendering the primary rays never change, so
+        the bounce-0 intersection is sample-invariant; render_samples
+        computes it once per dispatch and reuses it for every sample
+        (~50 ms/sample at 1080p). Results are bit-identical by
+        construction — it is the same intersect call, hoisted.
+
+    Returns:
+      TraceResult(radiance [N, nw], rays_traced scalar).
+    """
+    n = ro.shape[0]
+    nw = scene.wavenumbers.shape[0]
+    n_tris = scene.tri_shade.shape[0]
+    lay = shade_layout(nw)
+    intersect, backend = make_intersector(scene, backend, leaf_size)
+    has_tex = scene.textures.shape[0] > 0
+    # per-kind static gates: a 2M-ray texel gather for a texture kind no
+    # element binds is pure waste (~10 ms/bounce at 1080p, measured)
+    has_ntex = has_tex and scene.normal_tex_any.shape[0] > 0
+    has_rtex = has_tex and scene.roughness_tex_any.shape[0] > 0
+    has_grids = scene.temp_grids.shape[0] > 0
+
+    # the dense Pallas kernel omits the s2/s3 winner selection (it costs
+    # ~12% there); that backend computes barycentrics from fetched geometry
+    kernel_bary = backend != "dense_pallas"
+    sub, cols_idx = _column_subset(lay, backend, has_ntex, has_rtex,
+                                   has_grids, dispersion and nw > 0)
+    shade_sub = scene.tri_shade[:, cols_idx]   # [T, F'] — hoisted
+    shade_sub_t = shade_sub.T                  # [F', T]
+
     on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
     on_pallas = on_tpu and backend in ("dense_pallas", "cluster",
                                        "shortlist")
@@ -237,6 +295,13 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                       and n_tris >= REORDER_AUTO_MIN_TRIS))
     if do_reorder:
         _POS_BITS = REORDER_POS_BITS
+        # largest segment <= REORDER_SEGMENT that divides N in whole
+        # 1024-ray blocks; falls back to one global segment
+        _SEG = n
+        for d in range(REORDER_SEGMENT // 1024, 0, -1):
+            if n % (1024 * d) == 0:
+                _SEG = 1024 * d
+                break
         ca = scene.cluster_aabbs
         cvalid = (ca[:, 0] <= ca[:, 3])[:, None]
         smin = jnp.min(jnp.where(cvalid, ca[:, 0:3], jnp.inf), axis=0)
@@ -249,15 +314,16 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
             whose direction bounds span 0), then a morton cell of the origin
             (tight origin bounds per block). Dead rays key to the maximum so
             whole tail blocks go fully-parked and shortlist to zero groups.
-            Uses lax.sort (argsort): measured against cumsum counting /
-            radix schemes on v5e, the bitonic sort wins (XLA lowers cumsum
-            to ~log2(N) full passes, costing 3-4x argsort at any N). The
-            permutation is APPLIED as one packed row gather + one packed
-            row scatter (see the do_sort branch): XLA's per-element gather
-            runs ~500 MB/s on TPU regardless of locality, while row
-            gathers of 24-byte rows run ~10x faster — per-plane indexing
-            was the dominant cost of the whole bounce (61 ms of a 258 ms
-            6-bounce sample at 262k rays/52k tris, measured)."""
+            SEGMENTED sort (REORDER_SEGMENT): keys are argsorted per
+            segment, so the bitonic network stays in VMEM (3.1 ms vs
+            30.4 ms global at 2M keys on v5e) and the inverse permutation
+            is just another segmented argsort of the forward one — no
+            scatter anywhere (an [N, 4] row scatter measured 85 ms). The
+            permutation is APPLIED as packed row gathers (see the do_sort
+            branch): XLA's per-element gather runs ~500 MB/s on TPU
+            regardless of locality, while 16-24B row gathers run ~10x
+            faster — per-plane indexing was the dominant cost of the whole
+            bounce (61 ms of a 258 ms 6-bounce sample at 262k rays)."""
             cells = 1 << _POS_BITS
 
             def q(v, lo, ie):
@@ -278,22 +344,17 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
             key = (octant << (3 * _POS_BITS)) | m
             # dead rays -> top bucket (one extra key bit)
             key = jnp.where(alive, key, jnp.int32(1) << (3 * _POS_BITS + 3))
-            return jnp.argsort(key, stable=True).astype(jnp.int32)
+            ns = n // _SEG
+            perm_l = jnp.argsort(key.reshape(ns, _SEG), axis=1,
+                                 stable=True).astype(jnp.int32)
+            inv_l = jnp.argsort(perm_l, axis=1).astype(jnp.int32)
+            offs = (jnp.arange(ns, dtype=jnp.int32) * _SEG)[:, None]
+            return ((perm_l + offs).reshape(-1),
+                    (inv_l + offs).reshape(-1))
 
     def fetch_attrs_t(idx):
         """[F', N] attribute planes for each ray's hit triangle."""
-        if on_pallas:
-            from .ops.fetch_pallas import fetch_rows_pallas
-            return fetch_rows_pallas(idx, shade_sub)
-        if n_tris * n * 4 <= ONEHOT_FETCH_MAX_BYTES:
-            onehot_t = (jnp.arange(n_tris, dtype=jnp.int32)[:, None]
-                        == idx[None, :]).astype(jnp.float32)   # [T, N]
-            return jnp.dot(shade_sub_t, onehot_t,
-                           preferred_element_type=jnp.float32)
-        # barrier: otherwise XLA re-fuses this gather into each downstream
-        # fusion and runs it several times (profiled: 4x94 ms per sample at
-        # 1080p without it)
-        return jax.lax.optimization_barrier(shade_sub[idx].T)
+        return _fetch_attrs_t(idx, shade_sub, shade_sub_t, on_pallas)
 
     def row(attrs_t, name):
         return attrs_t[sub[name].start]
@@ -322,22 +383,30 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         wn_hero = (hero_sel(scene.wavenumbers[:, None])
                    if has_grids else None)
 
-    def body(h, state, do_sort=False):
+    def body(h, state, do_sort=False, hit0=None):
         (rox, roy, roz, rdx, rdy, rdz,
          throughput_t, radiance_t, inside, alive, rays_traced) = state
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.int32))
 
-        if do_sort:
+        attrs0 = None
+        if hit0 is not None:
+            # sample-invariant primary intersection (and optionally the
+            # attribute fetch), hoisted by the caller
+            hit, t, idx, s2, s3 = hit0[:5]
+            if len(hit0) > 5:
+                attrs0 = hit0[5]
+        elif do_sort:
             # Sort only around the intersection; the [nw, N] spectral state
             # never moves. The permutation is applied as ONE [N, 6] row
-            # gather in and ONE [N, 4] row scatter out (element gathers are
-            # ~10x slower than 16-24B row ops on TPU, and scattering by
-            # `perm` removes the inverse-permutation build entirely). idx
-            # rides the f32 pack as an exact float VALUE (f32 represents
-            # integers < 2^24 exactly; a bitcast would produce denormal bit
-            # patterns that TPU float ops flush to zero); `hit` is
-            # recomputed from t < BIG, exactly how the kernel derives it.
-            perm = sort_perm(rox, roy, roz, rdx, rdy, rdz, alive)
+            # gather in and ONE [N, 4] row gather (by the inverse) out —
+            # element gathers are ~10x slower than 16-24B row ops on TPU,
+            # and scatters are ~7x slower again, hence the segmented-
+            # argsort inverse. idx rides the f32 pack as an exact float
+            # VALUE (f32 represents integers < 2^24 exactly; a bitcast
+            # would produce denormal bit patterns that TPU float ops flush
+            # to zero); `hit` is recomputed from t < BIG, exactly how the
+            # kernel derives it.
+            perm, inv = sort_perm(rox, roy, roz, rdx, rdy, rdz, alive)
             packed = jnp.stack([rox, roy, roz, rdx, rdy, rdz],
                                axis=1)[perm]                       # [N, 6]
             hit_s, t_s, idx_s, s2_s, s3_s = intersect(
@@ -346,7 +415,7 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
             assert n_tris < (1 << 24), "float-exact idx pack needs T < 2^24"
             res = jnp.stack(
                 [t_s, s2_s, s3_s, idx_s.astype(jnp.float32)], axis=1)
-            out = jnp.zeros_like(res).at[perm].set(res)            # unsort
+            out = res[inv]                                         # unsort
             t, s2, s3 = out[:, 0], out[:, 1], out[:, 2]
             idx = out[:, 3].astype(jnp.int32)
             hit = t < BIG   # exactly how every intersect backend derives it
@@ -354,7 +423,7 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
             hit, t, idx, s2, s3 = intersect(rox, roy, roz, rdx, rdy, rdz)
         hit = hit & alive
 
-        attrs_t = fetch_attrs_t(idx)
+        attrs_t = attrs0 if attrs0 is not None else fetch_attrs_t(idx)
 
         # ---- hit geometry ----
         px, py, pz = rox + t * rdx, roy + t * rdy, roz + t * rdz
@@ -548,15 +617,12 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
              jnp.zeros(n, bool),
              jnp.ones(n, bool),
              jnp.zeros((), jnp.int32))
-    if do_reorder:
-        # primary rays are already tile-ordered (render.py host permutation):
-        # peel bounce 0 unsorted, sort every later bounce
-        state = body(0, state)
-        state = jax.lax.fori_loop(1, 2 * max_depth,
-                                  functools.partial(body, do_sort=True),
-                                  state)
-    else:
-        state = jax.lax.fori_loop(0, 2 * max_depth, body, state)
+    # bounce 0 is always peeled: primary rays are tile-ordered already (no
+    # sort needed) and the caller may supply the hoisted intersection
+    state = body(0, state, hit0=primary0)
+    state = jax.lax.fori_loop(1, 2 * max_depth,
+                              functools.partial(body, do_sort=do_reorder),
+                              state)
     throughput_t, radiance_t, alive, rays_traced = (state[6], state[7],
                                                     state[9], state[10])
 
@@ -607,12 +673,35 @@ def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
     as repeated ``render_sample`` calls, so checkpoint-resume stays exact.
 
     Returns (total', samples', out, rays_traced_total).
+
+    The primary-ray intersection AND its attribute fetch are sample-
+    invariant (fixed rays, no RNG before the first hit), so both are
+    computed ONCE here and reused by every sample in the batch — at 1080p
+    that hoists ~60 ms/sample of pallas-kernel time XLA's loop-invariant
+    code motion cannot touch (custom calls). The downstream pure geometry
+    ops become loop-invariant too and XLA hoists them itself. Bit-
+    identical: the same calls, made earlier.
     """
+    pre_intersect, resolved = make_intersector(scene, backend, leaf_size)
+    hit0 = pre_intersect(ro[:, 0], ro[:, 1], ro[:, 2],
+                         rd[:, 0], rd[:, 1], rd[:, 2])
+    nw = scene.wavenumbers.shape[0]
+    has_ntex, has_rtex, has_grids = _texture_flags(scene)
+    sub0, cols_idx0 = _column_subset(shade_layout(nw), resolved, has_ntex,
+                                     has_rtex, has_grids,
+                                     dispersion and nw > 0)
+    shade_sub0 = scene.tri_shade[:, cols_idx0]
+    on_pallas = (jax.devices()[0].platform.lower() in ("tpu", "axon")
+                 and resolved in ("dense_pallas", "cluster", "shortlist"))
+    attrs0 = _fetch_attrs_t(hit0[2], shade_sub0, shade_sub0.T, on_pallas)
+    primary0 = hit0 + (attrs0,)
+
     def body(i, carry):
         total, samples, rays = carry
         k = jax.random.fold_in(base_key, counter0 + i)
         res = trace_radiance(scene, ro, rd, k, max_depth, backend, leaf_size,
-                             dispersion=dispersion, reorder=reorder)
+                             dispersion=dispersion, reorder=reorder,
+                             primary0=primary0)
         return total + res.radiance, samples + 1, rays + res.rays_traced
 
     total, samples, rays = jax.lax.fori_loop(

@@ -76,26 +76,27 @@ def _chunk_hits(ro, rd, n, k1, k2, k3, consts):
     This is the portable jnp form (ops/intersect_pallas.py is the tuned TPU
     kernel with the identical predicate).
     """
-    # Pack the four per-triangle direction tables into one [3, 4C] operand so
-    # XLA sees two dense [N,3]x[3,4C] contractions.
-    mats = jnp.concatenate([n, k1, k2, k3], axis=0)  # [4C, 3]
-    ro_d = jnp.einsum("nk,ck->nc", ro, mats,
-                      preferred_element_type=jnp.float32)  # [N, 4C]
-    rd_d = jnp.einsum("nk,ck->nc", rd, mats,
+    # identical formula to the Pallas kernels: plane hit t from the n dots,
+    # then the hit POINT, then the same-side tests against it (the
+    # reference's own order — GetUV takes p, pathtracer.cpp:394-405)
+    ro_n = jnp.einsum("nk,ck->nc", ro, n,
+                      preferred_element_type=jnp.float32)  # [N, C]
+    rd_n = jnp.einsum("nk,ck->nc", rd, n,
                       preferred_element_type=jnp.float32)
-    c = n.shape[0]
-    ro_n, ro_k1, ro_k2, ro_k3 = (ro_d[:, :c], ro_d[:, c:2*c],
-                                 ro_d[:, 2*c:3*c], ro_d[:, 3*c:])
-    rd_n, rd_k1, rd_k2, rd_k3 = (rd_d[:, :c], rd_d[:, c:2*c],
-                                 rd_d[:, 2*c:3*c], rd_d[:, 3*c:])
 
     denom = rd_n
     safe = jnp.where(denom == 0.0, 1.0, denom)
     t = (consts[None, :, 0] - ro_n) / safe
 
-    s1 = ro_k1 + t * rd_k1 - consts[None, :, 1]
-    s2 = ro_k2 + t * rd_k2 - consts[None, :, 2]
-    s3 = ro_k3 + t * rd_k3 - consts[None, :, 3]
+    px = ro[:, 0:1] + t * rd[:, 0:1]
+    py = ro[:, 1:2] + t * rd[:, 1:2]
+    pz = ro[:, 2:3] + t * rd[:, 2:3]
+    s1 = (px * k1[None, :, 0] + py * k1[None, :, 1] + pz * k1[None, :, 2]
+          - consts[None, :, 1])
+    s2 = (px * k2[None, :, 0] + py * k2[None, :, 1] + pz * k2[None, :, 2]
+          - consts[None, :, 2])
+    s3 = (px * k3[None, :, 0] + py * k3[None, :, 1] + pz * k3[None, :, 2]
+          - consts[None, :, 3])
 
     valid = ((denom != 0.0) & (t >= 0.0)
              & (s1 >= 0.0) & (s2 >= 0.0) & (s3 >= 0.0))

@@ -37,7 +37,14 @@ def tile_sharded(mesh: Mesh, axis_name: str = TILE_AXIS) -> NamedSharding:
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> None:
-    """Multi-host bring-up (no-op single-host)."""
+    """Multi-host bring-up (no-op single-host).
+
+    Must run before ANY operation that initialises the XLA backend —
+    including importing modules that build jnp constants (the package's
+    ``ops`` modules do). Proven end-to-end by tests/test_multihost.py: two
+    OS processes form one global mesh and an spp-allreduce render step
+    psums across the process boundary, both sides observing the identical
+    merged accumulator."""
     if num_processes is None or num_processes <= 1:
         return
     jax.distributed.initialize(coordinator_address=coordinator_address,
