@@ -157,3 +157,31 @@ def test_stats():
     assert st["rays_traced"] > 0
     assert st["mrays_per_s"] > 0
     assert st["triangles"] == 36
+
+
+def test_batched_hoist_matches_render_sample_exactly():
+    """render_samples hoists the sample-invariant primary intersection +
+    attribute fetch out of the sample loop; the result must stay BIT-equal
+    to stepping render_sample with the same key schedule."""
+    import jax
+    import jax.numpy as jnp
+    from pathtracing_spectrum_tpu import camera_rays
+    from pathtracing_spectrum_tpu.engine import render_sample, render_samples
+
+    sc = cornell_scene(depth=2, res=(16, 16))
+    scene = sc.compile()
+    ro, rd = camera_rays(sc.camera(), 16, 16)
+    key = jax.random.key(9)
+    total_a = jnp.zeros((256, 4), jnp.float32)
+    samples_a = jnp.zeros((), jnp.int32)
+    total_a, samples_a, out_a, _ = render_samples(
+        scene, ro, rd, total_a, samples_a, key, 0, n_steps=3, max_depth=2,
+        backend="shortlist")
+
+    total_b = jnp.zeros((256, 4), jnp.float32)
+    samples_b = jnp.zeros((), jnp.int32)
+    for i in range(3):
+        total_b, samples_b, out_b, _ = render_sample(
+            scene, ro, rd, total_b, samples_b, jax.random.fold_in(key, i),
+            max_depth=2, backend="shortlist")
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
