@@ -38,6 +38,9 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="PNG path prefix (writes one per wave channel)")
     r.add_argument("--channel", type=int, default=-1,
                    help="single channel PNG instead of all")
+    r.add_argument("--png-srgb", default=None, metavar="PATH",
+                   help="CIE XYZ->sRGB color PNG (visible-range scenes; "
+                        "thermal-IR wavenumbers map to black)")
     r.add_argument("--backend", default="auto",
                    choices=["auto", "dense", "dense_pallas", "bvh"])
     r.add_argument("--depth", type=int, default=None,
@@ -213,6 +216,9 @@ def cmd_render(args) -> int:
         else:
             for p in viewer.save_all_channels_png(img, args.png):
                 print(f"wrote {p}")
+    if args.png_srgb:
+        viewer.save_srgb_png(img, scene.wavelengths, args.png_srgb)
+        print(f"wrote {args.png_srgb}")
     if args.checkpoint:
         session.save_checkpoint(args.checkpoint)
         print(f"checkpoint: {args.checkpoint}")

@@ -54,6 +54,75 @@ def save_all_channels_png(image: np.ndarray, path_prefix: str,
     return paths
 
 
+# ---------------------------------------------------------------------------
+# CIE XYZ -> sRGB for visible-range spectral renders (BASELINE.json north
+# star; the reference displays one grayscale channel only). Scenes author
+# wavenumbers in 1/cm: samples whose wavelength 1e7/v lies in the visible
+# band contribute through the CIE 1931 2-degree observer; pure-thermal-IR
+# scenes legitimately map to black.
+# ---------------------------------------------------------------------------
+
+def _cie_gauss(x, mu, s1, s2):
+    s = np.where(x < mu, s1, s2)
+    return np.exp(-0.5 * ((x - mu) / s) ** 2)
+
+
+def cie_xyz_bar(lambda_nm: np.ndarray) -> np.ndarray:
+    """CIE 1931 2-deg color matching functions, [.., 3] (x̄, ȳ, z̄).
+
+    Multi-lobe Gaussian fit of Wyman, Sloan & Shirley, JCGT 2013 — max
+    error below 1% of peak, no 400-entry table needed."""
+    lam = np.asarray(lambda_nm, np.float64)
+    x = (1.056 * _cie_gauss(lam, 599.8, 37.9, 31.0)
+         + 0.362 * _cie_gauss(lam, 442.0, 16.0, 26.7)
+         - 0.065 * _cie_gauss(lam, 501.1, 20.4, 26.2))
+    y = (0.821 * _cie_gauss(lam, 568.8, 46.9, 40.5)
+         + 0.286 * _cie_gauss(lam, 530.9, 16.3, 31.1))
+    z = (1.217 * _cie_gauss(lam, 437.0, 11.8, 36.0)
+         + 0.681 * _cie_gauss(lam, 459.0, 26.0, 13.8))
+    return np.stack([x, y, z], axis=-1)
+
+
+_XYZ_TO_SRGB = np.array([[3.2406, -1.5372, -0.4986],
+                         [-0.9689, 1.8758, 0.0415],
+                         [0.0557, -0.2040, 1.0570]])
+
+
+def spectral_to_srgb(image: np.ndarray, wavenumbers,
+                     exposure: float = 0.0,
+                     auto_expose: bool = True) -> np.ndarray:
+    """[H, W, nw] spectral radiance + wavenumbers (1/cm) -> uint8 sRGB.
+
+    XYZ is the CMF-weighted sum over the scene's spectral samples (the
+    renderer's channels are point samples of the radiance spectrum), then
+    the D65 sRGB matrix + gamma. ``auto_expose`` scales the 99.5th
+    percentile of Y to white; ``exposure`` adds stops on top.
+    """
+    img = np.nan_to_num(np.asarray(image, np.float64), nan=0.0)
+    lam_nm = 1e7 / np.maximum(np.asarray(wavenumbers, np.float64), 1e-9)
+    cmf = cie_xyz_bar(lam_nm)                        # [nw, 3]
+    xyz = img @ cmf                                  # [H, W, 3]
+    if auto_expose:
+        ref = np.percentile(xyz[:, :, 1], 99.5)
+        if ref > 0:
+            xyz = xyz / ref
+    xyz = xyz * (2.0 ** exposure)
+    rgb = xyz @ _XYZ_TO_SRGB.T
+    rgb = np.clip(rgb, 0.0, 1.0)
+    srgb = np.where(rgb <= 0.0031308, 12.92 * rgb,
+                    1.055 * rgb ** (1.0 / 2.4) - 0.055)
+    return np.clip(srgb * 255.0, 0.0, 255.0).astype(np.uint8)
+
+
+def save_srgb_png(image: np.ndarray, wavenumbers, path: str,
+                  exposure: float = 0.0) -> None:
+    from PIL import Image as PILImage
+
+    PILImage.fromarray(spectral_to_srgb(image, wavenumbers,
+                                        exposure=exposure),
+                       mode="RGB").save(path)
+
+
 _ASCII_RAMP = " .:-=+*#%@"
 
 

@@ -149,3 +149,44 @@ def test_viewer_grayscale_and_ascii():
     assert isinstance(txt, str) and len(txt) > 0
     # out-of-range channel: black
     assert viewer.to_grayscale(img, 5).max() == 0
+
+
+def test_spectral_to_srgb_hue_ordering():
+    """Monochromatic samples land in the right hue; flat visible spectrum
+    is near-neutral; thermal-IR wavenumbers map to black."""
+    from pathtracing_spectrum_tpu.viewer import spectral_to_srgb
+
+    # wavenumbers for 450 nm (blue), 550 nm (green), 650 nm (red)
+    wn = [1e7 / 450.0, 1e7 / 550.0, 1e7 / 650.0]
+    img = np.zeros((1, 3, 3), np.float32)
+    img[0, 0, 0] = 1.0   # pixel 0: pure 450 nm
+    img[0, 1, 1] = 1.0   # pixel 1: pure 550 nm
+    img[0, 2, 2] = 1.0   # pixel 2: pure 650 nm
+    rgb = spectral_to_srgb(img, wn).astype(int)
+    assert rgb[0, 0, 2] > rgb[0, 0, 0]          # 450 nm: blue dominates
+    assert rgb[0, 1, 1] >= rgb[0, 1, 0] and rgb[0, 1, 1] > rgb[0, 1, 2]
+    assert rgb[0, 2, 0] > rgb[0, 2, 2]          # 650 nm: red dominates
+
+    # flat equal-energy across the visible band -> near-neutral gray
+    wn_flat = [1e7 / l for l in (460, 520, 580, 640)]
+    flat = np.ones((1, 1, 4), np.float32)
+    g = spectral_to_srgb(flat, wn_flat).astype(int)[0, 0]
+    assert g.max() - g.min() < 80 and g.min() > 60
+
+    # thermal IR only (the benchmark scenes' 500..2000 1/cm) -> black
+    dark = spectral_to_srgb(np.ones((1, 1, 4), np.float32),
+                            [500.0, 1000.0, 1500.0, 2000.0],
+                            auto_expose=False)
+    assert int(dark.max()) == 0
+
+
+def test_save_srgb_png(tmp_path):
+    from pathtracing_spectrum_tpu.viewer import save_srgb_png
+
+    img = np.random.default_rng(0).uniform(
+        0, 1, (8, 8, 3)).astype(np.float32)
+    p = str(tmp_path / "c.png")
+    save_srgb_png(img, [1e7 / 450, 1e7 / 550, 1e7 / 650], p)
+    from PIL import Image
+    im = Image.open(p)
+    assert im.size == (8, 8) and im.mode == "RGB"
