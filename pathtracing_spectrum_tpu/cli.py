@@ -60,6 +60,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="sub-pixel anti-aliasing (off = reference parity)")
     r.add_argument("--dispersion", action="store_true",
                    help="hero-wavelength dispersion (per-wavelength IOR)")
+    r.add_argument("--persistent", action="store_true",
+                   help="persistent-wavefront mode: slots restart their "
+                        "pixel's next sample on termination (~100%% lane "
+                        "occupancy; fastest on deep/complex scenes)")
     r.add_argument("--batch", type=int, default=8,
                    help="samples per device dispatch")
     r.add_argument("--checkpoint", default=None,
@@ -152,7 +156,8 @@ def cmd_render(args) -> int:
 
     session = RenderSession(scene, backend=args.backend, seed=args.seed,
                             jitter=args.jitter, resolution=resolution,
-                            sharding=sharding, dispersion=args.dispersion)
+                            sharding=sharding, dispersion=args.dispersion,
+                            persistent=args.persistent)
     if args.resume:
         session.start()
         session.load_checkpoint(args.resume)

@@ -64,7 +64,13 @@ class RenderSession:
                  jitter: bool = False, seed: int = 0, dispersion: bool = False,
                  auto_backend_threshold: int = 4096,
                  resolution: Optional[tuple] = None,
-                 sharding=None, tile_ordering: bool = True):
+                 sharding=None, tile_ordering: bool = True,
+                 persistent: bool = False):
+        if persistent and (jitter or dispersion or sharding is not None):
+            raise ValueError("persistent wavefront mode supports neither "
+                             "jitter, dispersion nor sharding (yet) — see "
+                             "engine_wavefront.py")
+        self.persistent = persistent
         self.scene = scene
         self.jitter = jitter
         self.seed = seed
@@ -148,6 +154,16 @@ class RenderSession:
         w, h = self.resolution
         n = w * h
         nw = len(self.scene.wavelengths)
+        if self.persistent:
+            from .engine_wavefront import init_state
+            self._wf = init_state(n, nw)
+            self._total = None
+            self._out = None
+            self._samples = jnp.zeros((), jnp.int32)
+            self._sample_counter = 0
+            self.elapsed = 0.0
+            self.rays_traced = 0
+            return
         if self._sharding is not None:
             self._total = self._sharding.zeros_accumulator(n, nw)
         else:
@@ -200,6 +216,8 @@ class RenderSession:
         if self.status != RenderStatus.RENDERING:
             self.start()
         t0 = time.monotonic()
+        if self.persistent:
+            return self._step_persistent(n_samples, readback, t0)
         batched = (not self.jitter and (self._sharding is None or hasattr(
             self._sharding, "render_samples")))
         if batched and n_samples >= 1:
@@ -237,6 +255,32 @@ class RenderSession:
                 self._sample_counter += 1
                 self.rays_traced += int(nrays)
         jax.block_until_ready(self._out)
+        dt = time.monotonic() - t0
+        self.elapsed += dt
+        self.last_sample_time = dt / max(n_samples, 1)
+        return self.result() if readback else None
+
+    def _step_persistent(self, n_samples: int, readback: bool, t0: float):
+        """Advance the persistent pool until every slot has completed
+        ``n_samples`` more samples. A path lives at most 2*depth
+        iterations, so each 2*depth-iteration chunk advances the minimum
+        count by at least one — the loop is bounded by ``n_samples``
+        dispatches (usually far fewer: the average path is much shorter)."""
+        from .engine_wavefront import run_iterations
+
+        chunk = 2 * self.scene.trace_depth
+        target = self.samples + n_samples
+        rays0 = int(self._wf.rays_traced)
+        while True:
+            self._wf = run_iterations(
+                self._scene_data, self._ro, self._rd, self._wf, self._key,
+                jnp.asarray(target, jnp.int32),
+                n_iters=chunk, max_depth=self.scene.trace_depth,
+                backend=self.backend)
+            self._samples = jnp.min(self._wf.count)
+            if int(self._samples) >= target:
+                break
+        self.rays_traced += int(self._wf.rays_traced) - rays0
         dt = time.monotonic() - t0
         self.elapsed += dt
         self.last_sample_time = dt / max(n_samples, 1)
@@ -299,6 +343,14 @@ class RenderSession:
         """Running mean as [H, W, nw] (row 0 = image top)."""
         w, h = self.resolution
         nw = len(self.scene.wavelengths)
+        if self.persistent and getattr(self, "_wf", None) is not None:
+            # per-slot mean of that pixel's completed samples (counts may
+            # differ by a few across pixels — each is its own unbiased mean)
+            cnt = np.maximum(np.asarray(self._wf.count), 1)[:, None]
+            out = np.asarray(self._wf.total).T / cnt
+            if self._inv_perm is not None:
+                out = out[self._inv_perm]
+            return out.reshape(h, w, nw).astype(np.float32)
         if self._out is None:
             return np.zeros((h, w, nw), np.float32)
         out = self._out
@@ -327,7 +379,28 @@ class RenderSession:
     # -- checkpoint/resume --------------------------------------------------------
     def save_checkpoint(self, path: str) -> None:
         """Persist accumulator state for exact resume (the reference cannot:
-        pause keeps it in RAM only, stop discards — SURVEY §5)."""
+        pause keeps it in RAM only, stop discards — SURVEY §5).
+
+        Persistent mode checkpoints the COMPLETED samples (accumulator +
+        per-slot counts + RNG iteration); in-flight paths are dropped and
+        restart from their primaries on resume — still unbiased, only their
+        partial work is lost."""
+        if self.persistent:
+            total = np.asarray(self._wf.total).T
+            count = np.asarray(self._wf.count)
+            if self._inv_perm is not None:
+                total = total[self._inv_perm]
+                count = count[self._inv_perm]
+            np.savez(path, persistent=True, total=total, count=count,
+                     samples=np.asarray(jnp.min(self._wf.count)),
+                     sample_counter=int(self._wf.iteration),
+                     seed=self.seed,
+                     resolution=np.asarray(self.resolution),
+                     n_waves=len(self.scene.wavelengths),
+                     scene_hash=self.scene.content_digest(),
+                     backend=self.resolved_backend(),
+                     key_schedule=KEY_SCHEDULE_VERSION)
+            return
         total = np.asarray(self._sharding.gather(self._total)
                            if self._sharding else self._total)
         if self._inv_perm is not None:
@@ -376,8 +449,32 @@ class RenderSession:
             import warnings
             warnings.warn("legacy checkpoint without a scene hash — cannot "
                           "verify it matches this scene", stacklevel=2)
+        ck_persistent = bool(data["persistent"]) if "persistent" in \
+            data.files else False
+        if ck_persistent != self.persistent:
+            raise ValueError(
+                f"checkpoint was written in "
+                f"{'persistent' if ck_persistent else 'standard'} mode, "
+                f"this session is "
+                f"{'persistent' if self.persistent else 'standard'}")
         if self._dirty:
             self._sync()
+        if self.persistent:
+            total_np = data["total"]
+            count_np = data["count"]
+            if self._perm is not None:
+                total_np = total_np[self._perm]
+                count_np = count_np[self._perm]
+            self._wf = self._wf._replace(
+                total=jnp.asarray(total_np.T),
+                count=jnp.asarray(count_np),
+                iteration=jnp.asarray(int(data["sample_counter"]),
+                                      jnp.int32))
+            self._samples = jnp.min(self._wf.count)
+            self.seed = int(data["seed"])
+            self._key = jax.random.key(self.seed)
+            self.status = RenderStatus.PAUSED
+            return
         total_np = data["total"]
         if self._perm is not None:
             total_np = total_np[self._perm]
