@@ -91,3 +91,51 @@ def test_persistent_rejects_unsupported_modes():
         RenderSession(sc, persistent=True, jitter=True)
     with pytest.raises(ValueError):
         RenderSession(sc, persistent=True, dispersion=True)
+
+
+def test_wavefront_textures_and_grids_match_standard(tmp_path):
+    """Exercise the wavefront's has_rtex/has_grids branches: a glossy wall
+    with a roughness texture + a hot/cold temperature grid must render the
+    same (statistically) in both engines."""
+    import os
+
+    from pathtracing_spectrum_tpu import Material, MaterialType, Scene, \
+        SpectrumMaterial
+
+    ASSETS = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets")
+    grid = tmp_path / "grid.txt"
+    grid.write_text("2 1\n500.0 -100.0\n")
+
+    def build():
+        sc = Scene()
+        sc.wavelengths = [500.0, 1000.0, 1500.0, 2000.0]
+        sc.spectrum_materials = [SpectrumMaterial("w", [0.8, 0.7, 0.75, 0.8]),
+                                 SpectrumMaterial("e", [1.0] * 4)]
+        sc.trace_depth = 2
+        obj = sc.load_object(os.path.join(ASSETS, "cornell_box.obj"))
+        for i, el in enumerate(obj.elements):
+            t = 500.0 if el.name == "light" else 20.0
+            sid = 1 if el.name == "light" else 0
+            sc.set_material(0, i, Material(type=MaterialType.DIFFUSE,
+                                           temperature=t,
+                                           spectrum_mat_id=sid))
+        sc.set_material(0, 2, Material(
+            type=MaterialType.GLOSSY, temperature=30.0, spectrum_mat_id=0,
+            roughness=0.4,
+            roughness_tex_file=os.path.join(ASSETS, "checker.png")))
+        sc.set_temperature_data(0, 0, str(grid))
+        sc.set_camera([0.0, 0.0, -2.0], [0.0, 0.0, 0.0])
+        sc.camera_fovy = 50.0
+        sc.resolution = (16, 16)
+        return sc
+
+    std = RenderSession(build(), backend="dense", seed=0)
+    std.run(target_spp=400, batch=100)
+    per = RenderSession(build(), backend="dense", seed=7, persistent=True)
+    per.run(target_spp=400, batch=100)
+    a, b = std.result(), per.result()
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b.mean(), a.mean(), rtol=0.03)
+    np.testing.assert_allclose(b.mean(axis=(0, 1)), a.mean(axis=(0, 1)),
+                               rtol=0.08)
