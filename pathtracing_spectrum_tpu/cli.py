@@ -98,11 +98,20 @@ def _build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--out", default="preview.png")
     pv.add_argument("--res", default=None, help="override resolution WxH")
 
-    imp = sub.add_parser("import", help="validate spectral txt inputs")
+    imp = sub.add_parser("import", help="validate spectral txt inputs, "
+                         "optionally applying them to a scene file")
     imp.add_argument("kind", choices=["waves", "materials"])
     imp.add_argument("path")
     imp.add_argument("--n-waves", type=int, default=0,
-                     help="wave count (required for materials)")
+                     help="wave count (required for materials without "
+                          "--apply)")
+    imp.add_argument("--apply", default=None, metavar="SCENE",
+                     help="apply the import to this .pts scene "
+                          "(LoadSpectrumWaves/LoadSpectrumMaterials "
+                          "semantics, main.cpp:217-338)")
+    imp.add_argument("--out", default=None, metavar="SCENE",
+                     help="write the updated scene here (default: "
+                          "overwrite --apply in place)")
 
     sub.add_parser("bench", help="run the headline benchmark")
 
@@ -303,16 +312,38 @@ def cmd_preview(args) -> int:
 def cmd_import(args) -> int:
     from .utils import spectral_io
 
+    scene = None
+    if args.apply:
+        from .utils import scene_io
+        scene = scene_io.load_scene(args.apply)
+
     if args.kind == "waves":
         waves = spectral_io.load_spectrum_waves(args.path)
         print(f"{len(waves)} wavelengths: {waves}")
+        if scene is not None:
+            scene.import_waves(waves)
+            print("material emissivity curves reset "
+                  "(LoadSpectrumWaves semantics, main.cpp:229-260)")
     else:
-        if args.n_waves <= 0:
-            print("--n-waves required for materials", file=sys.stderr)
+        n_waves = (len(scene.wavelengths) if scene is not None
+                   else args.n_waves)
+        if n_waves <= 0:
+            print("--n-waves (or --apply) required for materials",
+                  file=sys.stderr)
             return 2
-        mats = spectral_io.load_spectrum_materials(args.path, args.n_waves)
+        mats = spectral_io.load_spectrum_materials(args.path, n_waves)
         for m in mats:
             print(f"{m.name}: {m.emissivity}")
+        if scene is not None:
+            scene.import_spectrum_materials(mats)
+            print("library replaced; old element references cleared "
+                  "(LoadSpectrumMaterials semantics, main.cpp:270-338)")
+
+    if scene is not None:
+        from .utils import scene_io
+        out = args.out or args.apply
+        scene_io.save_scene(scene, out)
+        print(f"wrote {out}")
     return 0
 
 

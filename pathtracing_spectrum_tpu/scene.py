@@ -278,6 +278,99 @@ class Scene:
         """Element highlight flag (previewer.cpp:842-878 GUI state)."""
         self.objects[obj_id].elements[element_id].highlight = highlight
 
+    # -- spectrum-material library (reference left bar, main.cpp:2461-2692,
+    #    import actions main.cpp:217-338) ------------------------------------
+    def add_spectrum_material(self, name: Optional[str] = None,
+                              emissivity: Optional[List[float]] = None) -> int:
+        """Add a material to the library; returns its id.
+
+        Defaults mirror the GUI's Add button (main.cpp:2489-2497): name
+        ``Material <count>``, emissivity all zeros, one entry per wave.
+        """
+        if name is None:
+            name = f"Material {len(self.spectrum_materials)}"
+        if emissivity is None:
+            emissivity = [0.0] * len(self.wavelengths)
+        self.spectrum_materials.append(
+            SpectrumMaterial(name, [float(e) for e in emissivity]))
+        self.modified = True
+        self.version += 1
+        return len(self.spectrum_materials) - 1
+
+    def delete_spectrum_materials(self, ids) -> None:
+        """Remove materials by id, fixing every reference like the GUI's
+        Delete action (``DeleteSelectedMaterials``, main.cpp:183-215): per
+        removal, element/sky references to the removed id become -1 and
+        higher ids shift down."""
+        for i in sorted({int(i) for i in ids}, reverse=True):
+            if not 0 <= i < len(self.spectrum_materials):
+                continue
+            for obj in self.objects:
+                for el in obj.elements:
+                    if el.material.spectrum_mat_id == i:
+                        el.material.spectrum_mat_id = -1
+                    elif el.material.spectrum_mat_id > i:
+                        el.material.spectrum_mat_id -= 1
+            if self.sky_material_id == i:
+                self.sky_material_id = -1
+            elif self.sky_material_id > i:
+                self.sky_material_id -= 1
+            del self.spectrum_materials[i]
+        self.modified = True
+        self.version += 1
+
+    def rename_spectrum_material(self, i: int, name: str) -> None:
+        self.spectrum_materials[i].name = name
+        self.modified = True
+        self.version += 1
+
+    def set_spectrum_emissivity(self, i: int, values: List[float]) -> None:
+        """Replace material ``i``'s emissivity curve (per-wave edit field,
+        main.cpp:2599-2650). Values are padded/truncated to the wave count
+        like the GUI's per-wave entries (one entry exists per wave)."""
+        nw = len(self.wavelengths)
+        vals = [float(v) for v in values][:nw]
+        vals += [0.0] * (nw - len(vals))
+        self.spectrum_materials[i].emissivity = vals
+        self.modified = True
+        self.version += 1
+
+    def import_waves(self, waves: List[float]) -> None:
+        """Replace the wavelength list with reset semantics
+        (``LoadSpectrumWaves``, main.cpp:229-260): every spectrum material's
+        emissivity curve is re-initialised to zeros of the new length —
+        stale curves do NOT survive a wave re-import."""
+        self.wavelengths = [float(w) for w in waves]
+        for m in self.spectrum_materials:
+            m.emissivity = [0.0] * len(self.wavelengths)
+        self.modified = True
+        self.version += 1
+
+    def import_spectrum_materials(
+            self, mats: List[SpectrumMaterial]) -> None:
+        """Replace the material library (``LoadSpectrumMaterials``,
+        main.cpp:270-338), reproducing the reference's reference-fixup loop
+        *faithfully* (main.cpp:283-301): it iterates i over the old library
+        applying the single-removal fixup (== i -> -1, > i -> shift down)
+        M times WITHOUT removing as it goes, so an element bound to an even
+        old id k ends at -1 but an odd k ends at (k-1)/2 — now pointing
+        into the NEW library. A quirk, preserved for parity and documented
+        here rather than silently "fixed"."""
+        for i in range(len(self.spectrum_materials)):
+            for obj in self.objects:
+                for el in obj.elements:
+                    if el.material.spectrum_mat_id == i:
+                        el.material.spectrum_mat_id = -1
+                    elif el.material.spectrum_mat_id > i:
+                        el.material.spectrum_mat_id -= 1
+            if self.sky_material_id == i:
+                self.sky_material_id = -1
+            elif self.sky_material_id > i:
+                self.sky_material_id -= 1
+        self.spectrum_materials = list(mats)
+        self.modified = True
+        self.version += 1
+
     def select_object(self, index: int, selected: bool = True) -> None:
         self.objects[index].is_selected = selected
 

@@ -47,6 +47,8 @@ class SpectrumShell(cmd.Cmd):
         self.scene = Scene()
         self.path: Optional[str] = None
         self.session = None
+        self._autopreview: Optional[str] = None
+        self._view_key = None
         if scene_path:
             self._open(scene_path)
 
@@ -246,17 +248,102 @@ class SpectrumShell(cmd.Cmd):
         self.scene.version += 1
 
     def do_waves(self, arg):
-        """waves <w1 w2 ...> | waves import <file.txt> — set wavenumbers"""
+        """waves <w1 w2 ...> | waves import <file.txt> — set wavenumbers.
+        Both reset every spectrum material's emissivity curve to zeros of
+        the new length (LoadSpectrumWaves semantics, main.cpp:229-260)."""
         from .utils import spectral_io
         parts = shlex.split(arg)
         if parts and parts[0] == "import":
-            self.scene.wavelengths = list(
-                spectral_io.load_spectrum_waves(parts[1]))
+            self.scene.import_waves(spectral_io.load_spectrum_waves(parts[1]))
         else:
-            self.scene.wavelengths = [float(p) for p in parts]
-        self.scene.modified = True
-        self.scene.version += 1
-        self._say(f"{len(self.scene.wavelengths)} waves")
+            self.scene.import_waves([float(p) for p in parts])
+        self._say(f"{len(self.scene.wavelengths)} waves "
+                  f"(material curves reset)")
+
+    def do_specmat(self, arg):
+        """specmat — spectrum-material library CRUD (reference left bar,
+        main.cpp:2461-2692):
+          specmat                       list the library
+          specmat add [name] [e1 e2 ..] add (default zeros per wave)
+          specmat del <id> [id ...]     delete + fix references
+          specmat rename <id> <name>    rename
+          specmat edit <id> <e1 e2 ...> replace the emissivity curve
+          specmat import <file.txt>     replace library from txt
+                                        (LoadSpectrumMaterials)"""
+        parts = shlex.split(arg)
+        sc = self.scene
+        if not parts:
+            for i, m in enumerate(sc.spectrum_materials):
+                self._say(f"[{i}] {m.name}: {m.emissivity}")
+            if not sc.spectrum_materials:
+                self._say("(no spectrum materials)")
+            return
+        op = parts[0]
+        if op == "add":
+            name = parts[1] if len(parts) > 1 else None
+            eps = [float(p) for p in parts[2:]] if len(parts) > 2 else None
+            if eps is not None:
+                nw = len(sc.wavelengths)
+                eps = (eps + [0.0] * nw)[:nw]
+            i = sc.add_spectrum_material(name, eps)
+            self._say(f"[{i}] {sc.spectrum_materials[i].name}")
+        elif op in ("del", "delete"):
+            sc.delete_spectrum_materials(int(p) for p in parts[1:])
+            self._say(f"{len(sc.spectrum_materials)} materials left")
+        elif op == "rename":
+            sc.rename_spectrum_material(int(parts[1]), parts[2])
+            self._say("renamed")
+        elif op == "edit":
+            sc.set_spectrum_emissivity(int(parts[1]),
+                                       [float(p) for p in parts[2:]])
+            self._say(f"[{parts[1]}] "
+                      f"{sc.spectrum_materials[int(parts[1])].emissivity}")
+        elif op == "import":
+            from .utils import spectral_io
+            mats = spectral_io.load_spectrum_materials(
+                parts[1], len(sc.wavelengths))
+            sc.import_spectrum_materials(mats)
+            self._say(f"imported {len(mats)} materials "
+                      f"(old element references cleared)")
+        else:
+            self._say(f"unknown specmat op: {op}")
+
+    def do_tex(self, arg):
+        """tex normal|rough|tempdata <obj> <el> <path|-> — bind (or with
+        '-' unbind) a per-element texture / ASCII temperature grid
+        (reference Set*TextureForElement, pathtracer.cpp:152-198)."""
+        parts = shlex.split(arg)
+        kind, o, e = parts[0], int(parts[1]), int(parts[2])
+        path = "" if parts[3] == "-" else parts[3]
+        if kind == "normal":
+            self.scene.set_normal_texture(o, e, path)
+        elif kind in ("rough", "roughness"):
+            self.scene.set_roughness_texture(o, e, path)
+        elif kind in ("tempdata", "temp"):
+            self.scene.set_temperature_data(o, e, path)
+        else:
+            self._say(f"unknown texture kind: {kind} "
+                      f"(normal|rough|tempdata)")
+            return
+        self._say(f"{kind} {'unbound' if not path else 'bound'} "
+                  f"on object {o} element {e}")
+
+    def do_select(self, arg):
+        """select <obj> [on|off] — object selection (previewer.cpp:862-867);
+        selected objects tint cyan in previews"""
+        parts = shlex.split(arg)
+        on = len(parts) < 2 or parts[1] != "off"
+        self.scene.select_object(int(parts[0]), on)
+        self._say(f"object {parts[0]} "
+                  f"{'selected' if on else 'deselected'}")
+
+    def do_highlight(self, arg):
+        """highlight <obj> <el> [on|off] — element highlight flag
+        (previewer.cpp:842-859); highlighted elements tint yellow"""
+        parts = shlex.split(arg)
+        on = len(parts) < 3 or parts[2] != "off"
+        self.scene.set_highlight(int(parts[0]), int(parts[1]), on)
+        self._say(f"highlight {'on' if on else 'off'}")
 
     def do_sky(self, arg):
         """sky <spectrum_mat_id> <tempC> — sky material + temperature"""
@@ -371,14 +458,55 @@ class SpectrumShell(cmd.Cmd):
                 self._say(f"wrote {p}")
 
     def do_preview(self, arg):
-        """preview <out.png> — quick headlight preview of the scene"""
+        """preview <out.png> [gray] — headlight preview with the
+        reference's baseColor/highlight/selection tinting (main.cpp:
+        3333-3338); 'gray' for the untinted shading-only view"""
+        parts = shlex.split(arg)
+        self._write_preview(parts[0], gray=len(parts) > 1
+                            and parts[1] == "gray")
+        self._say(f"wrote {parts[0]}")
+
+    def _write_preview(self, out: str, gray: bool = False) -> None:
         from PIL import Image as PILImage
         from .preview import preview_render
-        out = shlex.split(arg)[0]
         w, h = self.scene.resolution
-        PILImage.fromarray(preview_render(self.scene, w, h),
-                           mode="L").save(out)
-        self._say(f"wrote {out}")
+        img = preview_render(self.scene, w, h, rgb=not gray)
+        PILImage.fromarray(img, mode="L" if gray else "RGB").save(out)
+        self._view_key = self._view_state()
+
+    # -- autopreview: refresh the preview PNG after each mutating command
+    #    (the reference repaints the raster preview every frame while
+    #    editing, main.cpp:3290-3356 — this is the headless equivalent) ----
+    def do_autopreview(self, arg):
+        """autopreview on <out.png> | off — refresh a preview PNG after
+        every command that changes the scene, selection or highlights"""
+        parts = shlex.split(arg)
+        if parts and parts[0] == "on":
+            self._autopreview = parts[1] if len(parts) > 1 else "preview.png"
+            self._write_preview(self._autopreview)
+            self._say(f"autopreview -> {self._autopreview}")
+        else:
+            self._autopreview = None
+            self._say("autopreview off")
+
+    def _view_state(self):
+        """Everything the preview image depends on (scene version counts
+        geometry/material edits; selection/highlight are view-only flags
+        that do not bump it)."""
+        return (id(self.scene), self.scene.version,
+                tuple((o.is_selected, tuple(el.highlight
+                                            for el in o.elements))
+                      for o in self.scene.objects))
+
+    def postcmd(self, stop, line):
+        if getattr(self, "_autopreview", None):
+            if self._view_state() != getattr(self, "_view_key", None):
+                try:
+                    self._write_preview(self._autopreview)
+                    self._say(f"[autopreview] {self._autopreview}")
+                except Exception as e:
+                    self._say(f"[autopreview] failed: {e}")
+        return stop
 
     # -- exit ----------------------------------------------------------------
     def do_quit(self, arg):

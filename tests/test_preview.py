@@ -44,3 +44,28 @@ def test_pick_miss_outside_geometry(tmp_path):
     sc = Scene()
     sc.wavelengths = [1000.0]
     assert pick(sc, 8, 8, 4, 4) == (-1, -1)
+
+
+def test_preview_rgb_highlight_and_selection_tint():
+    """Reference override order (main.cpp:3333-3338): element highlight
+    beats object selection beats material baseColor."""
+    sc = cornell_scene(res=(32, 32))
+    data = sc.compile()
+
+    base = preview_render(sc, 32, 32, scene_data=data, rgb=True)
+    assert base.shape == (32, 32, 3)
+    # default baseColor is white -> R==G==B everywhere
+    assert (base[..., 0] == base[..., 1]).all()
+
+    # selecting the object tints every visible element cyan-ish (B > R)
+    sc.select_object(0, True)
+    sel = preview_render(sc, 32, 32, scene_data=data, rgb=True)
+    hit = sel.sum(axis=-1) > 0
+    assert (sel[..., 2][hit] >= sel[..., 0][hit]).all()
+    assert (sel[..., 2][hit] > sel[..., 0][hit]).any()
+
+    # highlighting one element overrides selection (yellow: R > B) there
+    oid, eid = pick(sc, 32, 32, 16, 16, scene_data=data)
+    sc.set_highlight(oid, eid, True)
+    hi = preview_render(sc, 32, 32, scene_data=data, rgb=True)
+    assert hi[16, 16, 0] > hi[16, 16, 2]

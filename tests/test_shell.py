@@ -123,3 +123,83 @@ def test_export_and_png_after_render(tmp_path):
     assert os.path.exists(exp)
     assert os.path.exists(f"{png}_ch0.png")
     sh.onecmd("quit")
+
+
+def test_specmat_crud_commands():
+    sh, out = run_script([
+        "waves 500 1000 1500",
+        "specmat add",                     # "Material 0", zeros
+        "specmat add glass 0.1 0.2 0.3",
+        "specmat rename 0 base",
+        "specmat edit 0 0.5 0.6 0.7",
+        "specmat",
+        "specmat del 1",
+        "quit", "n",
+    ])
+    mats = sh.scene.spectrum_materials
+    assert [m.name for m in mats] == ["base"]
+    assert mats[0].emissivity == [0.5, 0.6, 0.7]
+    assert "glass" in out
+
+
+def test_specmat_import_applies_to_scene(tmp_path):
+    mats_txt = tmp_path / "m.txt"
+    mats_txt.write_text("steel\n0.2 0.3\npaint\n0.8 0.7\n")
+    sh, out = run_script([
+        "waves 500 1000",
+        "specmat add old",
+        f"specmat import {mats_txt}",
+        "quit", "n",
+    ])
+    assert [m.name for m in sh.scene.spectrum_materials] == \
+        ["steel", "paint"]
+    assert sh.scene.spectrum_materials[0].emissivity == [0.2, 0.3]
+
+
+def test_waves_import_resets_curves(tmp_path):
+    waves_txt = tmp_path / "w.txt"
+    waves_txt.write_text("700 900 1100 1300\n")
+    sh, out = run_script([
+        "waves 500 1000",
+        "specmat add a 0.5 0.6",
+        f"waves import {waves_txt}",
+        "quit", "n",
+    ])
+    assert sh.scene.wavelengths == [700.0, 900.0, 1100.0, 1300.0]
+    # LoadSpectrumWaves resets curves to zeros of the NEW length
+    assert sh.scene.spectrum_materials[0].emissivity == [0.0] * 4
+
+
+def test_tex_bind_and_unbind_commands():
+    obj = os.path.join(ASSETS, "cornell_box.obj")
+    tex = os.path.join(ASSETS, "checker.png")
+    sh, out = run_script([
+        f"load {obj}",
+        f"tex normal 0 0 {tex}",
+        f"tex rough 0 1 {tex}",
+        "tex tempdata 0 2 grid.txt",
+        "tex normal 0 0 -",
+        "quit", "n",
+    ])
+    els = sh.scene.objects[0].elements
+    assert els[0].material.normal_tex_file == ""
+    assert els[1].material.roughness_tex_file == tex
+    assert els[2].material.temperature_data_file == "grid.txt"
+
+
+def test_select_highlight_and_autopreview(tmp_path):
+    obj = os.path.join(ASSETS, "cornell_box.obj")
+    png = str(tmp_path / "ap.png")
+    sh, out = run_script([
+        f"load {obj}",
+        "res 16x16",
+        f"autopreview on {png}",
+        "select 0",
+        "highlight 0 0",
+        "autopreview off",
+        "quit", "n",
+    ])
+    assert sh.scene.objects[0].is_selected
+    assert sh.scene.objects[0].elements[0].highlight
+    assert os.path.exists(png)
+    assert out.count("[autopreview]") >= 2   # select + highlight refreshes
