@@ -664,7 +664,8 @@ def render_sample(scene: SceneData, ro, rd, total, samples, key,
 def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
                    counter0, n_steps: int, max_depth: int,
                    backend: str = "auto", leaf_size: int = 4,
-                   dispersion: bool = False, reorder: object = "auto"):
+                   dispersion: bool = False, reorder: object = "auto",
+                   jitter_cam=None):
     """``n_steps`` progressive samples in ONE dispatch.
 
     Per-call launch latency on a tunneled/remote TPU can reach hundreds of
@@ -681,27 +682,48 @@ def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
     code motion cannot touch (custom calls). The downstream pure geometry
     ops become loop-invariant too and XLA hoists them itself. Bit-
     identical: the same calls, made earlier.
+
+    ``jitter_cam`` (models.camera.JitterCam) switches on batched sub-pixel
+    jitter: sample ``i`` regenerates its ray directions in-dispatch from
+    ``fold_in(fold_in(key_i, 0xC0FFEE))`` draws, so jitter renders batch
+    exactly like non-jitter ones instead of paying one dispatch per sample.
+    Primary rays then differ per sample, so the primary-hit hoist is
+    disabled (it would be wrong).
     """
-    pre_intersect, resolved = make_intersector(scene, backend, leaf_size)
-    hit0 = pre_intersect(ro[:, 0], ro[:, 1], ro[:, 2],
-                         rd[:, 0], rd[:, 1], rd[:, 2])
-    nw = scene.wavenumbers.shape[0]
-    has_ntex, has_rtex, has_grids = _texture_flags(scene)
-    sub0, cols_idx0 = _column_subset(shade_layout(nw), resolved, has_ntex,
-                                     has_rtex, has_grids,
-                                     dispersion and nw > 0)
-    shade_sub0 = scene.tri_shade[:, cols_idx0]
-    on_pallas = (jax.devices()[0].platform.lower() in ("tpu", "axon")
-                 and resolved in ("dense_pallas", "cluster", "shortlist"))
-    attrs0 = _fetch_attrs_t(hit0[2], shade_sub0, shade_sub0.T, on_pallas)
-    primary0 = hit0 + (attrs0,)
+    if jitter_cam is None:
+        pre_intersect, resolved = make_intersector(scene, backend, leaf_size)
+        hit0 = pre_intersect(ro[:, 0], ro[:, 1], ro[:, 2],
+                             rd[:, 0], rd[:, 1], rd[:, 2])
+        nw = scene.wavenumbers.shape[0]
+        has_ntex, has_rtex, has_grids = _texture_flags(scene)
+        sub0, cols_idx0 = _column_subset(shade_layout(nw), resolved,
+                                         has_ntex, has_rtex, has_grids,
+                                         dispersion and nw > 0)
+        shade_sub0 = scene.tri_shade[:, cols_idx0]
+        on_pallas = (jax.devices()[0].platform.lower() in ("tpu", "axon")
+                     and resolved in ("dense_pallas", "cluster",
+                                      "shortlist"))
+        attrs0 = _fetch_attrs_t(hit0[2], shade_sub0, shade_sub0.T, on_pallas)
+        primary0 = hit0 + (attrs0,)
+    else:
+        primary0 = None
 
     def body(i, carry):
         total, samples, rays = carry
         k = jax.random.fold_in(base_key, counter0 + i)
-        res = trace_radiance(scene, ro, rd, k, max_depth, backend, leaf_size,
-                             dispersion=dispersion, reorder=reorder,
-                             primary0=primary0)
+        if jitter_cam is not None:
+            from .models.camera import jittered_dirs
+            ck = jax.random.fold_in(k, 0xC0FFEE)
+            kx, ky = jax.random.split(ck)
+            n = jitter_cam.px.shape[0]
+            rd_i = jittered_dirs(jitter_cam,
+                                 jax.random.uniform(kx, (n,)),
+                                 jax.random.uniform(ky, (n,)))
+        else:
+            rd_i = rd
+        res = trace_radiance(scene, ro, rd_i, k, max_depth, backend,
+                             leaf_size, dispersion=dispersion,
+                             reorder=reorder, primary0=primary0)
         return total + res.radiance, samples + 1, rays + res.rays_traced
 
     total, samples, rays = jax.lax.fori_loop(

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -72,6 +72,65 @@ def tile_order(width: int, height: int, tile: int = 32):
     inv = np.empty_like(perm)
     inv[perm] = np.arange(perm.shape[0], dtype=np.int32)
     return perm, inv
+
+
+class JitterCam(NamedTuple):
+    """Device-side camera parameters for in-dispatch jittered ray
+    generation (batched jitter mode: rays are re-generated per sample
+    INSIDE ``render_samples``'s fori body instead of one host dispatch per
+    sample — per-dispatch tunnel latency is 6..900 ms).
+
+    ``px``/``py`` are the integer pixel coordinates of each ray slot in
+    the engine's ray order (tile order when tile_ordering is on), so the
+    jitter is drawn directly in that order — same estimator as the
+    host-side path, different (but equally i.i.d.) variate-to-pixel
+    assignment."""
+
+    px: jnp.ndarray        # [N] f32 pixel x in ray-slot order
+    py: jnp.ndarray        # [N] f32 pixel y
+    pos: jnp.ndarray       # [3]
+    top_left: jnp.ndarray  # [3]
+    right: jnp.ndarray     # [3]
+    up: jnp.ndarray        # [3]
+    dx: jnp.ndarray        # [] pixel width on the image plane
+    dy: jnp.ndarray        # [] pixel height
+
+
+def jitter_cam_arrays(cam: Camera, width: int, height: int,
+                      perm: "np.ndarray | None" = None) -> JitterCam:
+    """Build the JitterCam bundle (same image-plane setup as camera_rays,
+    pathtracer.cpp:560-571). ``perm`` maps ray slots to scanline pixels."""
+    cam = cam.clamped()
+    pos = np.asarray(cam.position, np.float32)
+    d = np.asarray(cam.direction, np.float32)
+    up = np.asarray(cam.up, np.float32)
+    img_center = pos + d * cam.focal
+    img_h = 2.0 * cam.focal * math.tan(math.radians(cam.fovy_deg / 2.0))
+    img_w = img_h * (float(width) / float(height))
+    right = np.cross(up, d)
+    right = (right / np.linalg.norm(right)).astype(np.float32)
+    top_left = img_center - right * (img_w * 0.5) + up * (img_h * 0.5)
+    idx = np.arange(width * height, dtype=np.int64)
+    if perm is not None:
+        idx = np.asarray(perm, np.int64)
+    px = (idx % width).astype(np.float32)
+    py = (idx // width).astype(np.float32)
+    return JitterCam(jnp.asarray(px), jnp.asarray(py), jnp.asarray(pos),
+                     jnp.asarray(top_left.astype(np.float32)),
+                     jnp.asarray(right), jnp.asarray(up),
+                     jnp.float32(img_w / float(width)),
+                     jnp.float32(img_h / float(height)))
+
+
+def jittered_dirs(jc: JitterCam, u, v):
+    """[N, 3] normalized ray directions for sub-pixel offsets (u, v) in
+    [0, 1) — the jittered form of camera_rays' pixel-corner rays."""
+    xo = (jc.px + u) * jc.dx
+    yo = (jc.py + v) * jc.dy
+    pix = (jc.top_left[None, :] - jc.up[None, :] * yo[:, None]
+           + jc.right[None, :] * xo[:, None])
+    dirs = pix - jc.pos[None, :]
+    return dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
 
 
 def camera_rays(cam: Camera, width: int, height: int,

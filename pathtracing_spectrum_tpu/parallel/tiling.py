@@ -35,10 +35,26 @@ from .mesh import TILE_AXIS, make_mesh, replicated, tile_sharded
 class TileSharding:
     """Shard the flat pixel axis over a 1-D mesh."""
 
+    supports_jitter_cam = True  # batched jitter: px/py shard like rays
+
     def __init__(self, mesh: Optional[Mesh] = None):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_devices = self.mesh.size
         self._true_n = None
+
+    def shard_jitter_cam(self, jc):
+        """Pixel-coordinate planes shard with the rays; the camera scalars
+        replicate. Padding slots ray through pixel (0,0) — their results
+        land in padded accumulator rows that gather() discards."""
+        sh = tile_sharded(self.mesh)
+        rep = replicated(self.mesh)
+        return jc._replace(
+            px=jax.device_put(self._pad(jc.px), sh),
+            py=jax.device_put(self._pad(jc.py), sh),
+            pos=jax.device_put(jc.pos, rep),
+            top_left=jax.device_put(jc.top_left, rep),
+            right=jax.device_put(jc.right, rep),
+            up=jax.device_put(jc.up, rep))
 
     def _pad(self, a):
         n = a.shape[0]
@@ -79,14 +95,15 @@ class TileSharding:
 
     def render_samples(self, scene_data, ro, rd, total, samples, base_key,
                        counter0, n_steps, max_depth, backend="auto",
-                       dispersion=False):
+                       dispersion=False, jitter_cam=None):
         """Batched multi-sample step (one dispatch), sharded over pixels."""
         from ..engine import render_samples as _render_samples_1chip
         scene_data = self.shard_scene(scene_data)
         return _render_samples_1chip(scene_data, ro, rd, total, samples,
                                      base_key, counter0, n_steps=n_steps,
                                      max_depth=max_depth, backend=backend,
-                                     dispersion=dispersion)
+                                     dispersion=dispersion,
+                                     jitter_cam=jitter_cam)
 
     def gather(self, out):
         arr = np.asarray(out)

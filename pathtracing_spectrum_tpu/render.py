@@ -145,8 +145,16 @@ class RenderSession:
             self._perm, self._inv_perm = tile_order(w, h)
             self._ro = jnp.asarray(np.asarray(self._ro)[self._perm])
             self._rd = jnp.asarray(np.asarray(self._rd)[self._perm])
+        self._jitter_cam = None
+        if self.jitter:
+            from .models.camera import jitter_cam_arrays
+            self._jitter_cam = jitter_cam_arrays(cam, w, h, perm=self._perm)
         if self._sharding is not None:
             self._ro, self._rd = self._sharding.shard_rays(self._ro, self._rd)
+            if self._jitter_cam is not None and hasattr(self._sharding,
+                                                        "shard_jitter_cam"):
+                self._jitter_cam = self._sharding.shard_jitter_cam(
+                    self._jitter_cam)
         self._dirty = False
         self._reset_accumulator()
 
@@ -218,18 +226,24 @@ class RenderSession:
         t0 = time.monotonic()
         if self.persistent:
             return self._step_persistent(n_samples, readback, t0)
-        batched = (not self.jitter and (self._sharding is None or hasattr(
-            self._sharding, "render_samples")))
+        batched = (self._sharding is None
+                   or hasattr(self._sharding, "render_samples"))
+        if self.jitter:
+            # batched jitter regenerates rays in-dispatch (JitterCam);
+            # sharded strategies must opt in (TileSharding does)
+            batched = batched and (self._sharding is None or getattr(
+                self._sharding, "supports_jitter_cam", False))
         if batched and n_samples >= 1:
             # one device dispatch for the whole batch (remote-TPU launch
             # latency is the dominant cost of per-sample stepping)
             step_fn = (self._sharding.render_samples if self._sharding
                        else render_samples)
+            kw = ({"jitter_cam": self._jitter_cam} if self.jitter else {})
             self._total, self._samples, self._out, nrays = step_fn(
                 self._scene_data, self._ro, self._rd, self._total,
                 self._samples, self._key, self._sample_counter,
                 n_steps=n_samples, max_depth=self.scene.trace_depth,
-                backend=self.backend, dispersion=self.dispersion)
+                backend=self.backend, dispersion=self.dispersion, **kw)
             self._sample_counter += n_samples
             self.rays_traced += int(nrays)
         else:
@@ -414,6 +428,7 @@ class RenderSession:
                  n_waves=len(self.scene.wavelengths),
                  scene_hash=self.scene.content_digest(),
                  backend=self.resolved_backend(),
+                 jitter=self.jitter,
                  key_schedule=KEY_SCHEDULE_VERSION)
 
     def load_checkpoint(self, path: str) -> None:
@@ -449,6 +464,12 @@ class RenderSession:
             import warnings
             warnings.warn("legacy checkpoint without a scene hash — cannot "
                           "verify it matches this scene", stacklevel=2)
+        ck_jitter = bool(data["jitter"]) if "jitter" in data.files else False
+        if ck_jitter != self.jitter:
+            raise ValueError(
+                f"checkpoint was rendered with jitter={ck_jitter}, this "
+                f"session has jitter={self.jitter} — the per-sample ray "
+                f"schedule differs, resume would not be exact")
         ck_persistent = bool(data["persistent"]) if "persistent" in \
             data.files else False
         if ck_persistent != self.persistent:

@@ -185,3 +185,74 @@ def test_batched_hoist_matches_render_sample_exactly():
             scene, ro, rd, total_b, samples_b, jax.random.fold_in(key, i),
             max_depth=2, backend="shortlist")
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_run_jitter_batches_dispatches(monkeypatch):
+    """Jitter mode now batches too: run(64) issues <= 9 dispatches via
+    in-dispatch ray regeneration (VERDICT r2 item 5)."""
+    import pathtracing_spectrum_tpu.render as render_mod
+
+    calls = {"samples": 0, "persample": 0}
+    real = render_mod.render_samples
+
+    def counting(*a, **kw):
+        calls["samples"] += 1
+        return real(*a, **kw)
+
+    real1 = render_mod.render_sample
+
+    def counting1(*a, **kw):
+        calls["persample"] += 1
+        return real1(*a, **kw)
+
+    monkeypatch.setattr(render_mod, "render_samples", counting)
+    monkeypatch.setattr(render_mod, "render_sample", counting1)
+    s = small_session(jitter=True)
+    s.run(target_spp=64)
+    assert s.samples == 64
+    assert calls["samples"] <= 9
+    assert calls["persample"] == 0
+
+
+def test_jitter_batched_deterministic_and_sane():
+    a = small_session(jitter=True, seed=3).run(target_spp=8)
+    b = small_session(jitter=True, seed=3).run(target_spp=8)
+    np.testing.assert_array_equal(a, b)
+    assert not np.isnan(a).any() and (a >= 0).all() and a.mean() > 0
+    # non-jitter samples pixel CORNERS (reference parity) — at 8x8 the two
+    # estimators target measurably different images, so only check they
+    # disagree; cross-seed jitter runs must agree statistically
+    c = small_session(jitter=False, seed=3).run(target_spp=8)
+    assert not np.array_equal(a, c)
+    # cross-seed agreement is statistical; the hot emitter + RR make this
+    # scene high-variance, so compare at 32 spp with a loose bound
+    d = small_session(jitter=True, seed=11).run(target_spp=32)
+    e = small_session(jitter=True, seed=3).run(target_spp=32)
+    rel = abs(e.mean() - d.mean()) / e.mean()
+    assert rel < 0.3
+
+
+def test_jitter_checkpoint_exact_resume(tmp_path):
+    p = str(tmp_path / "j.npz")
+    s = small_session(jitter=True, seed=7)
+    s.run(target_spp=3)
+    s.save_checkpoint(p)
+    s.run(target_spp=6)
+    full = s.result()
+
+    r = small_session(jitter=True, seed=7)
+    r.start()
+    r.load_checkpoint(p)
+    r.run(target_spp=6)
+    np.testing.assert_array_equal(r.result(), full)
+
+
+def test_jitter_checkpoint_mode_mismatch_refused(tmp_path):
+    p = str(tmp_path / "j.npz")
+    s = small_session(jitter=True, seed=1)
+    s.run(target_spp=2)
+    s.save_checkpoint(p)
+    t = small_session(jitter=False, seed=1)
+    t.start()
+    with pytest.raises(ValueError, match="jitter"):
+        t.load_checkpoint(p)
