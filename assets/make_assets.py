@@ -234,4 +234,6 @@ if __name__ == "__main__":
                  grid=128, n_rocks=36, rock_sub=12)
     make_terrain(os.path.join(HERE, "terrain_200k.obj"),
                  grid=224, n_rocks=96, rock_sub=20)
+    make_terrain(os.path.join(HERE, "terrain_1m.obj"),
+                 grid=672, n_rocks=64, rock_sub=24)
     print("assets written")

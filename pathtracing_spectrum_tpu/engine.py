@@ -104,7 +104,7 @@ def resolve_backend(backend: str, n_tris: int) -> str:
     if backend == "auto":
         if on_tpu:
             backend = ("dense" if n_tris <= DENSE_AUTO_MAX_TRIS
-                       else "shortlist")
+                       else "worklist")
         else:
             backend = "dense" if n_tris <= 8192 else "bvh"
     if backend == "dense" and on_tpu:
@@ -188,12 +188,19 @@ def make_intersector(scene: SceneData, backend: str, leaf_size: int = 4):
     backend = resolve_backend(backend, n_tris=n_tris)
     tri16 = (pack_tri16(scene.tri_face_n, scene.tri_k1, scene.tri_k2,
                         scene.tri_k3, scene.tri_consts)
-             if backend in ("dense_pallas", "cluster", "shortlist")
+             if backend in ("dense_pallas", "cluster", "shortlist",
+                            "worklist")
              else None)
 
     def intersect(ox, oy, oz, dx, dy, dz):
         if backend == "dense_pallas":
             return intersect_dense_pallas_soa(ox, oy, oz, dx, dy, dz, tri16)
+        if backend == "worklist":
+            from .ops.intersect_worklist import intersect_worklist_pallas_soa
+            interp = jax.devices()[0].platform.lower() not in ("tpu", "axon")
+            return intersect_worklist_pallas_soa(
+                ox, oy, oz, dx, dy, dz, tri16, scene.cluster_aabbs,
+                interpret=interp)
         if backend == "shortlist":
             from .ops.intersect_shortlist import intersect_shortlist_pallas_soa
             interp = jax.devices()[0].platform.lower() not in ("tpu", "axon")
@@ -286,12 +293,12 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
 
     on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
     on_pallas = on_tpu and backend in ("dense_pallas", "cluster",
-                                       "shortlist")
+                                       "shortlist", "worklist")
 
     # ---- bounce-ray reordering (block coherence for culling kernels) ----
     do_reorder = (reorder is True
                   or (reorder == "auto" and on_pallas
-                      and backend in ("cluster", "shortlist")
+                      and backend in ("cluster", "shortlist", "worklist")
                       and n_tris >= REORDER_AUTO_MIN_TRIS))
     if do_reorder:
         _POS_BITS = REORDER_POS_BITS
@@ -702,7 +709,7 @@ def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
         shade_sub0 = scene.tri_shade[:, cols_idx0]
         on_pallas = (jax.devices()[0].platform.lower() in ("tpu", "axon")
                      and resolved in ("dense_pallas", "cluster",
-                                      "shortlist"))
+                                      "shortlist", "worklist"))
         attrs0 = _fetch_attrs_t(hit0[2], shade_sub0, shade_sub0.T, on_pallas)
         primary0 = hit0 + (attrs0,)
     else:

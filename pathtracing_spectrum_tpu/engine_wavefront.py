@@ -134,8 +134,9 @@ def run_iterations(scene: SceneData, ro, rd, state: WavefrontState,
     kernel_bary = rbackend != "dense_pallas"
     on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
     on_pallas = on_tpu and rbackend in ("dense_pallas", "cluster",
-                                        "shortlist")
-    do_reorder = (on_pallas and rbackend in ("cluster", "shortlist")
+                                        "shortlist", "worklist")
+    do_reorder = (on_pallas and rbackend in ("cluster", "shortlist",
+                                             "worklist")
                   and n_tris >= REORDER_AUTO_MIN_TRIS)
     # restart-at-first-bounce needs RR-free primary hits: RR activates at
     # hit index max_depth-1, so max_depth == 1 restarts at the primary ray

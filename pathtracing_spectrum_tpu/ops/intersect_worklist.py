@@ -1,0 +1,295 @@
+"""Pooled-worklist intersection kernel (work-proportional grid).
+
+Third-generation large-scene TPU path (after the round-1 cluster scan and
+the round-2 shortlist kernel). The round-2 kernel's grid is
+``(ray_blocks, n_groups)``: every ray block steps through ALL ``G`` group
+slots and skips the ones past its shortlist count. Measured on a 246k-tri
+scene at 512² (256 blocks x 241 groups = 61k grid steps), the *skipped*
+steps alone cost ~63 ms per call — ~1 µs of scalar index-map/pipeline
+bookkeeping per step — while the mean shortlist is only ~14 groups.
+
+This kernel makes the grid itself work-proportional, the TPU-native analog
+of the reference's log-time per-ray descent (mesh.cpp:239-280): grid =
+one step per *(ray block, shortlisted group)* pair, laid out as a flat
+worklist shared by all blocks:
+
+* **Stage 1 (XLA)**: per-block interval shortlists exactly as before
+  (ops/intersect_shortlist.build_shortlists — conservative, order sorted
+  front-to-back), then a worklist of (block, group) pairs is assembled
+  with a cumsum + searchsorted — no big sorts, no scatters.
+* **Pooled budget**: the worklist length ``W = ray_blocks * min(G, bpb)``
+  is a STATIC pool shared across blocks — one block may consume hundreds
+  of entries while most use a handful, so per-block overflow (common for
+  sky-grazing blocks) does not force a fallback; only the *total*
+  exceeding the pool does. On overflow ``lax.cond`` routes the whole call
+  to the round-2 kernel (grid (NB, G)) — bit-identical results, just the
+  old cost. Scalar-prefetch SMEM is O(W), so the round-2 SMEM
+  super-blocking pressure disappears on this path.
+* **Stage 2 (Pallas)**: each step streams its group's 1024-triangle block
+  and 8 cluster AABBs (same double-buffered pipelining — consecutive
+  steps with the same indices skip the DMA), runs the identical
+  cluster-culled sweep, and accumulates into the block's best-hit planes.
+  The worklist is block-major so output blocks are visited contiguously
+  (no revisits); a block's first step initialises its outputs. Blocks
+  with empty shortlists get one inactive entry so initialisation still
+  runs.
+
+Hit selection is bit-identical to the dense sweep and the round-2 kernel:
+same predicate (reference mesh.cpp:283-295 in K-vector form), same
+lowest-index tie rule (front-to-back group order within each block).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect_pallas import BIG, CLUSTER, _LANES, _slab_block
+from .intersect_shortlist import (GROUP_T, KC, _RB, build_shortlists,
+                                  group_aabbs_from_clusters,
+                                  intersect_shortlist_pallas_soa)
+
+# Default pooled budget: worklist entries per ray block (the pool is
+# shared; this is an AVERAGE, not a per-block cap).
+BUDGET_PER_BLOCK = 16
+
+
+def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
+               aabb_ref, best_t_ref, best_i_ref, best_s2_ref, best_s3_ref,
+               *, rows, kc):
+    w = pl.program_id(0)
+    blk = wl_block_ref[w]
+    prev = wl_block_ref[jnp.maximum(w - 1, 0)]
+    first_visit = (w == 0) | (prev != blk)
+
+    @pl.when(first_visit)
+    def _():
+        best_t_ref[:] = jnp.full_like(best_t_ref, BIG)
+        best_i_ref[:] = jnp.zeros_like(best_i_ref)
+        best_s2_ref[:] = jnp.zeros_like(best_s2_ref)
+        best_s3_ref[:] = jnp.zeros_like(best_s3_ref)
+
+    @pl.when(wl_active_ref[w] != 0)
+    def _():
+        gidx = wl_group_ref[w]
+        rox_b = ray_ref[0]
+        roy_b = ray_ref[1]
+        roz_b = ray_ref[2]
+        rdx_b = ray_ref[3]
+        rdy_b = ray_ref[4]
+        rdz_b = ray_ref[5]
+        inv_xb = 1.0 / rdx_b
+        inv_yb = 1.0 / rdy_b
+        inv_zb = 1.0 / rdz_b
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, _LANES), 0)
+
+        for c in range(kc):
+            slab = _slab_block(
+                rox_b, roy_b, roz_b, inv_xb, inv_yb, inv_zb,
+                aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2],
+                aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5],
+                best_t_ref[:])
+
+            @pl.when(jnp.any(slab))
+            def _(c=c):
+                base = c * CLUSTER
+                nx = tri_ref[base:base + CLUSTER, 0:1]
+                ny = tri_ref[base:base + CLUSTER, 1:2]
+                nz = tri_ref[base:base + CLUSTER, 2:3]
+                k1x = tri_ref[base:base + CLUSTER, 3:4]
+                k1y = tri_ref[base:base + CLUSTER, 4:5]
+                k1z = tri_ref[base:base + CLUSTER, 5:6]
+                k2x = tri_ref[base:base + CLUSTER, 6:7]
+                k2y = tri_ref[base:base + CLUSTER, 7:8]
+                k2z = tri_ref[base:base + CLUSTER, 8:9]
+                k3x = tri_ref[base:base + CLUSTER, 9:10]
+                k3y = tri_ref[base:base + CLUSTER, 10:11]
+                k3z = tri_ref[base:base + CLUSTER, 11:12]
+                c0 = tri_ref[base:base + CLUSTER, 12:13]
+                c1 = tri_ref[base:base + CLUSTER, 13:14]
+                c2 = tri_ref[base:base + CLUSTER, 14:15]
+                c3 = tri_ref[base:base + CLUSTER, 15:16]
+                tri_base = gidx * GROUP_T + base
+
+                for r in range(rows):
+                    rox = ray_ref[0, r:r + 1, :]
+                    roy = ray_ref[1, r:r + 1, :]
+                    roz = ray_ref[2, r:r + 1, :]
+                    rdx = ray_ref[3, r:r + 1, :]
+                    rdy = ray_ref[4, r:r + 1, :]
+                    rdz = ray_ref[5, r:r + 1, :]
+
+                    denom = rdx * nx + rdy * ny + rdz * nz
+                    ro_n = rox * nx + roy * ny + roz * nz
+                    safe = jnp.where(denom == 0.0, 1.0, denom)
+                    t = (c0 - ro_n) / safe
+                    px = rox + t * rdx
+                    py = roy + t * rdy
+                    pz = roz + t * rdz
+                    s1 = px * k1x + py * k1y + pz * k1z - c1
+                    s2 = px * k2x + py * k2y + pz * k2z - c2
+                    s3 = px * k3x + py * k3y + pz * k3z - c3
+                    valid = ((denom != 0.0) & (t >= 0.0)
+                             & (s1 >= 0.0) & (s2 >= 0.0) & (s3 >= 0.0))
+                    tt = jnp.where(valid, t, BIG)
+
+                    tmin = jnp.min(tt, axis=0, keepdims=True)
+                    cand = jnp.where(tt == tmin, lane_iota, CLUSTER)
+                    amin = jnp.min(cand, axis=0,
+                                   keepdims=True).astype(jnp.int32)
+                    win = lane_iota == amin
+                    s2_sel = jnp.sum(jnp.where(win, s2, 0.0), axis=0,
+                                     keepdims=True)
+                    s3_sel = jnp.sum(jnp.where(win, s3, 0.0), axis=0,
+                                     keepdims=True)
+
+                    cur_t = best_t_ref[r:r + 1, :]
+                    # groups arrive front-to-back (not index order): exact
+                    # ties take the explicit lowest-index rule to stay
+                    # bit-identical to the dense sweep
+                    tie = ((tmin == cur_t) & (tmin < BIG)
+                           & (tri_base + amin < best_i_ref[r:r + 1, :]))
+                    better = ((tmin < cur_t) & (tmin < BIG)) | tie
+                    best_t_ref[r:r + 1, :] = jnp.where(better, tmin, cur_t)
+                    best_i_ref[r:r + 1, :] = jnp.where(
+                        better, tri_base + amin, best_i_ref[r:r + 1, :])
+                    best_s2_ref[r:r + 1, :] = jnp.where(
+                        better, s2_sel, best_s2_ref[r:r + 1, :])
+                    best_s3_ref[r:r + 1, :] = jnp.where(
+                        better, s3_sel, best_s3_ref[r:r + 1, :])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "bpb"))
+def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
+                                  cluster_aabbs, interpret: bool = False,
+                                  bpb: int = BUDGET_PER_BLOCK):
+    """Closest hit via the pooled-worklist kernel.
+
+    Args:
+      rox..rdz: [N] ray component planes (parked rays: rd == 0).
+      tri_pack: [T, 16] packed table (pack_tri16), BVH-ordered.
+      cluster_aabbs: [ceil(T/CLUSTER), 8] from build_cluster_aabbs.
+      bpb: pooled worklist budget per ray block (shared pool; see module
+        docstring). Totals above the pool fall back to the round-2 kernel.
+
+    Returns (hit [N] bool, t [N], idx [N] int32, s2 [N], s3 [N]),
+    idx in BVH order — identical selection to the dense sweep.
+    """
+    n = rox.shape[0]
+    t_count = tri_pack.shape[0]
+
+    block = _RB * _LANES
+    pad_n = (-n) % block
+    comps = (rox, roy, roz, rdx, rdy, rdz)
+    if pad_n:
+        zeros = jnp.zeros((pad_n,), rox.dtype)
+        comps = tuple(jnp.concatenate([c, zeros]) for c in comps)
+    n_pad = n + pad_n
+    rows_total = n_pad // _LANES
+    nb = rows_total // _RB
+    rays = jnp.stack(comps).reshape(6, rows_total, _LANES)
+
+    pad_t = (-t_count) % GROUP_T
+    if pad_t:
+        tri_pack = jnp.concatenate(
+            [tri_pack, jnp.zeros((pad_t, 16), tri_pack.dtype)])
+    n_groups = (t_count + pad_t) // GROUP_T
+    n_clusters = n_groups * KC
+    if cluster_aabbs.shape[0] < n_clusters:
+        extra = n_clusters - cluster_aabbs.shape[0]
+        never = jnp.tile(jnp.asarray(
+            [[1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 0.0, 0.0]], jnp.float32),
+            (extra, 1))
+        cluster_aabbs = jnp.concatenate([cluster_aabbs, never])
+
+    group_aabb, group_valid = group_aabbs_from_clusters(cluster_aabbs,
+                                                        n_groups)
+    order, counts, _tnear = build_shortlists(rays, group_aabb, group_valid,
+                                             block_rows=_RB)
+
+    # ---- worklist assembly (XLA; no big sorts/scatters) ----
+    w_budget = nb * min(n_groups, bpb)
+    counts_eff = jnp.maximum(counts, 1)     # >=1 entry: first-visit init
+    ends = jnp.cumsum(counts_eff)
+    total = ends[-1]
+    w_idx = jnp.arange(w_budget, dtype=jnp.int32)
+    blk = jnp.searchsorted(ends, w_idx, side="right").astype(jnp.int32)
+    blk = jnp.minimum(blk, nb - 1)
+    j = w_idx - (ends[blk] - counts_eff[blk])
+    in_pool = w_idx < total
+    wl_block = jnp.where(in_pool, blk, nb - 1)
+    gsel = order[wl_block, jnp.clip(j, 0, n_groups - 1)]
+    wl_group = jnp.where(in_pool, gsel, gsel[-1])
+    wl_active = (in_pool & (j < counts[wl_block])).astype(jnp.int32)
+
+    def run_worklist(rays, tri_pack, cluster_aabbs):
+        grid = (w_budget,)
+        out_spec = pl.BlockSpec((_RB, _LANES),
+                                lambda w, wb, wg, wa: (wb[w], 0),
+                                memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((6, _RB, _LANES),
+                             lambda w, wb, wg, wa: (0, wb[w], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((GROUP_T, 16),
+                             lambda w, wb, wg, wa: (wg[w], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((KC, 8),
+                             lambda w, wb, wg, wa: (wg[w], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[out_spec] * 4,
+        )
+        return pl.pallas_call(
+            functools.partial(_wl_kernel, rows=_RB, kc=KC),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((rows_total, _LANES), jnp.int32),
+                jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),
+            ],
+            interpret=interpret,
+        )(wl_block, wl_group, wl_active, rays, tri_pack, cluster_aabbs)
+
+    if w_budget >= nb * n_groups:
+        # pool covers the worst case — no fallback branch needed
+        best_t, best_i, best_s2, best_s3 = run_worklist(
+            rays, tri_pack, cluster_aabbs)
+        best_t = best_t.reshape(n_pad)[:n]
+        best_i = best_i.reshape(n_pad)[:n]
+        best_s2 = best_s2.reshape(n_pad)[:n]
+        best_s3 = best_s3.reshape(n_pad)[:n]
+        return best_t < BIG, best_t, best_i, best_s2, best_s3
+
+    def short_path(_):
+        t, i, s2, s3 = run_worklist(rays, tri_pack, cluster_aabbs)
+        return t, i, s2, s3
+
+    def full_path(_):
+        # round-2 kernel: grid (NB, G), handles any shortlist total
+        hit, t, i, s2, s3 = intersect_shortlist_pallas_soa(
+            rox, roy, roz, rdx, rdy, rdz, tri_pack[:t_count],
+            cluster_aabbs, interpret=interpret)
+        pad = jnp.zeros((pad_n,), jnp.float32)
+        padi = jnp.zeros((pad_n,), jnp.int32)
+        return (jnp.concatenate([t, jnp.full((pad_n,), BIG, jnp.float32)])
+                .reshape(rows_total, _LANES),
+                jnp.concatenate([i, padi]).reshape(rows_total, _LANES),
+                jnp.concatenate([s2, pad]).reshape(rows_total, _LANES),
+                jnp.concatenate([s3, pad]).reshape(rows_total, _LANES))
+
+    best_t, best_i, best_s2, best_s3 = jax.lax.cond(
+        total <= w_budget, short_path, full_path, operand=None)
+    best_t = best_t.reshape(n_pad)[:n]
+    best_i = best_i.reshape(n_pad)[:n]
+    best_s2 = best_s2.reshape(n_pad)[:n]
+    best_s3 = best_s3.reshape(n_pad)[:n]
+    return best_t < BIG, best_t, best_i, best_s2, best_s3

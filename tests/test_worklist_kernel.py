@@ -1,0 +1,74 @@
+"""Pooled-worklist kernel (ops/intersect_worklist.py) on the CPU
+interpreter: selection must match the brute-force sweep exactly, on both
+the worklist path and the budget-overflow fallback path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pathtracing_spectrum_tpu.ops.intersect import intersect_bruteforce
+import pathtracing_spectrum_tpu.ops.intersect_worklist as iwl
+
+from test_shortlist_kernel import _rays, _soup
+
+
+def _check_equal(geo, tri16, caabb, ro, rd, bpb):
+    v1, e1, e2, fn, k1, k2, k3, consts = geo
+    h0, t0, i0, _, _ = intersect_bruteforce(
+        jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(fn), jnp.asarray(k1),
+        jnp.asarray(k2), jnp.asarray(k3), jnp.asarray(consts))
+    h1, t1, i1, s2, s3 = iwl.intersect_worklist_pallas_soa(
+        *(jnp.asarray(ro[:, k]) for k in range(3)),
+        *(jnp.asarray(rd[:, k]) for k in range(3)),
+        tri16, caabb, interpret=True, bpb=bpb)
+    h0, h1 = np.asarray(h0), np.asarray(h1)
+    np.testing.assert_array_equal(h0, h1)
+    m = h0
+    np.testing.assert_allclose(np.asarray(t0)[m], np.asarray(t1)[m],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i0)[m], np.asarray(i1)[m])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("T,N", [(300, 1024), (3000, 4096), (1100, 2048)])
+def test_worklist_matches_bruteforce(T, N):
+    geo, tri16, caabb = _soup(T)
+    _check_equal(geo, tri16, caabb, *_rays(N), bpb=iwl.BUDGET_PER_BLOCK)
+
+
+@pytest.mark.slow
+def test_worklist_overflow_falls_back_identically():
+    """bpb=1 forces the pooled budget under the real shortlist total, so
+    the lax.cond fallback (round-2 kernel) must produce the result."""
+    geo, tri16, caabb = _soup(5200, seed=9)
+    ro, rd = _rays(2048, seed=10, park_frac=0.0)  # all live -> long lists
+    _check_equal(geo, tri16, caabb, ro, rd, bpb=1)
+
+
+@pytest.mark.slow
+def test_worklist_partial_budget_stays_exact():
+    """A mid-size pool where SOME blocks exceed bpb individually but the
+    pooled total fits — per-block overflow must not lose groups."""
+    geo, tri16, caabb = _soup(4100, seed=12)
+    ro, rd = _rays(3072, seed=13, park_frac=0.5)
+    _check_equal(geo, tri16, caabb, ro, rd, bpb=3)
+
+
+def test_engine_worklist_backend_matches_dense():
+    from scene_helpers import cornell_scene
+    from pathtracing_spectrum_tpu import camera_rays
+    from pathtracing_spectrum_tpu.engine import trace_radiance
+
+    sc = cornell_scene()
+    scene = sc.compile()
+    ro, rd = camera_rays(sc.camera(), 16, 16)
+    rng = np.random.default_rng(7)
+    rand = jnp.asarray(rng.uniform(0, 1, (6, 4, 256)).astype(np.float32))
+    key = jax.random.key(0)
+    a = trace_radiance(scene, ro, rd, key, 3, backend="dense",
+                       rand_override=rand)
+    b = trace_radiance(scene, ro, rd, key, 3, backend="worklist",
+                       rand_override=rand)
+    np.testing.assert_allclose(np.asarray(a.radiance),
+                               np.asarray(b.radiance), rtol=2e-4, atol=1e-6)
