@@ -63,12 +63,10 @@ import jax.numpy as jnp
 
 from .constants import EPS
 from .scene import SceneData
-from .ops import planck, sampling
-from .ops.shade_pack import layout as shade_layout
-from .ops.texturing import sample_nearest_wh
+from .ops import sampling
 from .engine import (BIG, REORDER_AUTO_MIN_TRIS, REORDER_POS_BITS,
-                     REORDER_SEGMENT, _column_subset, _fetch_attrs_t,
-                     _norm3, _texture_flags, make_intersector)
+                     REORDER_SEGMENT)
+from . import engine_common as ec
 
 
 class WavefrontState(NamedTuple):
@@ -124,19 +122,10 @@ def run_iterations(scene: SceneData, ro, rd, state: WavefrontState,
     n = ro.shape[0]
     nw = scene.wavenumbers.shape[0]
     n_tris = scene.tri_shade.shape[0]
-    lay = shade_layout(nw)
-    intersect, rbackend = make_intersector(scene, backend, leaf_size)
-    has_ntex, has_rtex, has_grids = _texture_flags(scene)
-    sub, cols_idx = _column_subset(lay, rbackend, has_ntex, has_rtex,
-                                   has_grids, False)
-    shade_sub = scene.tri_shade[:, cols_idx]
-    shade_sub_t = shade_sub.T
-    kernel_bary = rbackend != "dense_pallas"
-    on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
-    on_pallas = on_tpu and rbackend in ("dense_pallas", "cluster",
-                                        "shortlist", "worklist")
-    do_reorder = (on_pallas and rbackend in ("cluster", "shortlist",
-                                             "worklist")
+    ctx = ec.make_ctx(scene, backend, leaf_size)
+    intersect = ctx.intersect
+    do_reorder = (ctx.on_pallas and ctx.backend in ("cluster", "shortlist",
+                                                    "worklist")
                   and n_tris >= REORDER_AUTO_MIN_TRIS)
     # restart-at-first-bounce needs RR-free primary hits: RR activates at
     # hit index max_depth-1, so max_depth == 1 restarts at the primary ray
@@ -144,124 +133,18 @@ def run_iterations(scene: SceneData, ro, rd, state: WavefrontState,
 
     pdx, pdy, pdz = rd[:, 0], rd[:, 1], rd[:, 2]
 
-    def row(attrs_t, name):
-        return attrs_t[sub[name].start]
-
-    def row3(attrs_t, name):
-        s = sub[name].start
-        return attrs_t[s], attrs_t[s + 1], attrs_t[s + 2]
-
-    def rows(attrs_t, name):
-        return attrs_t[sub[name]]
-
-    def shade_geometry(attrs_t, rox, roy, roz, rdx, rdy, rdz, t, s2, s3):
-        """Hit point, shading frame, roughness, UV — engine.body's
-        geometry block over [M] planes (identical formulas)."""
-        px, py, pz = rox + t * rdx, roy + t * rdy, roz + t * rdz
-        inv_denom = row(attrs_t, "inv_denom")
-        if kernel_bary:
-            alpha = s2 * inv_denom
-            beta = s3 * inv_denom
-        else:
-            v1x, v1y, v1z = row3(attrs_t, "v1")
-            e1x, e1y, e1z = row3(attrs_t, "e1")
-            e2x, e2y, e2z = row3(attrs_t, "e2")
-            wx, wy, wz = px - v1x, py - v1y, pz - v1z
-            d20 = wx * e1x + wy * e1y + wz * e1z
-            d21 = wx * e2x + wy * e2y + wz * e2z
-            alpha = (row(attrs_t, "d11") * d20
-                     - row(attrs_t, "d01") * d21) * inv_denom
-            beta = (row(attrs_t, "d00") * d21
-                    - row(attrs_t, "d01") * d20) * inv_denom
-        w0 = 1.0 - alpha - beta
-
-        s = sub["uv1"].start
-        uvu = (w0 * attrs_t[s] + alpha * attrs_t[s + 2]
-               + beta * attrs_t[s + 4])
-        uvv = (w0 * attrs_t[s + 1] + alpha * attrs_t[s + 3]
-               + beta * attrs_t[s + 5])
-
-        fnx, fny, fnz = row3(attrs_t, "face_n")
-        n1x, n1y, n1z = row3(attrs_t, "n1")
-        n2x, n2y, n2z = row3(attrs_t, "n2")
-        n3x, n3y, n3z = row3(attrs_t, "n3")
-        smx, smy, smz = _norm3(w0 * n1x + alpha * n2x + beta * n3x,
-                               w0 * n1y + alpha * n2y + beta * n3y,
-                               w0 * n1z + alpha * n2z + beta * n3z)
-        smooth = row(attrs_t, "smoothing") > 0.5
-        nx = jnp.where(smooth, smx, fnx)
-        ny = jnp.where(smooth, smy, fny)
-        nz = jnp.where(smooth, smz, fnz)
-        backface = (nx * rdx + ny * rdy + nz * rdz) > 0.0
-        nx = jnp.where(backface, -nx, nx)
-        ny = jnp.where(backface, -ny, ny)
-        nz = jnp.where(backface, -nz, nz)
-
-        roughness = row(attrs_t, "roughness")
-        if has_ntex:
-            ntex = row(attrs_t, "normal_tex").astype(jnp.int32)
-            nwh = sub["normal_tex_wh"].start
-            tex = sample_nearest_wh(scene.textures, ntex,
-                                    attrs_t[nwh], attrs_t[nwh + 1],
-                                    uvu, uvv)
-            ntx, nty, ntz = (tex[:, 0] * 2.0 - 1.0, tex[:, 1] * 2.0 - 1.0,
-                             tex[:, 2] * 2.0 - 1.0)
-            ntz = jnp.where(ntz < 0.0, 0.0, ntz)
-            ntx, nty, ntz = _norm3(ntx, nty, ntz)
-            tax, tay, taz = row3(attrs_t, "tangent")
-            bx, by, bz = row3(attrs_t, "bitangent")
-            mnx, mny, mnz = _norm3(tax * ntx + bx * nty + nx * ntz,
-                                   tay * ntx + by * nty + ny * ntz,
-                                   taz * ntx + bz * nty + nz * ntz)
-            use_map = ntex >= 0
-            nx = jnp.where(use_map, mnx, nx)
-            ny = jnp.where(use_map, mny, ny)
-            nz = jnp.where(use_map, mnz, nz)
-        if has_rtex:
-            rtex = row(attrs_t, "roughness_tex").astype(jnp.int32)
-            rwh = sub["roughness_tex_wh"].start
-            rough_tex = sample_nearest_wh(scene.textures, rtex,
-                                          attrs_t[rwh], attrs_t[rwh + 1],
-                                          uvu, uvv)
-            roughness = jnp.where(rtex >= 0, rough_tex[:, 0], roughness)
-
-        pox, poy, poz = px + nx * EPS, py + ny * EPS, pz + nz * EPS
-        return pox, poy, poz, nx, ny, nz, roughness, uvu, uvv
-
-    def material_spectra(attrs_t, uvu, uvv):
-        """Baked + temperature-grid-effective emissivity/reflectivity,
-        [nw, M] — engine.body's re-bake block (identical formulas)."""
-        emis_t = rows(attrs_t, "emissivity")
-        refl_t = rows(attrs_t, "reflectivity")
-        if has_grids:
-            grid = row(attrs_t, "temp_grid").astype(jnp.int32)
-            gwh = sub["temp_grid_wh"].start
-            temp = sample_nearest_wh(scene.temp_grids, grid,
-                                     attrs_t[gwh], attrs_t[gwh + 1],
-                                     uvu, uvv)
-            bbp_t = planck.planck_bbp(temp + planck.CELSIUS_OFFSET,
-                                      scene.wavenumbers).T
-            eps_t = rows(attrs_t, "eps_curve")
-            has_grid = (grid >= 0)[None, :]
-            emis_eff = jnp.where(has_grid, bbp_t * eps_t, emis_t)
-            refl_eff = jnp.where(has_grid, bbp_t * (1.0 - eps_t), refl_t)
-        else:
-            emis_eff = emis_t
-            refl_eff = refl_t
-        return emis_t, emis_eff, refl_eff
-
     # ---- sample-invariant primary-hit bundle (computed once per call) ----
     if inline_primary:
         ph_hit, ph_t, ph_idx, ph_s2, ph_s3 = intersect(
             ro[:, 0], ro[:, 1], ro[:, 2], pdx, pdy, pdz)
-        ph_attrs = _fetch_attrs_t(ph_idx, shade_sub, shade_sub_t, on_pallas)
+        ph_attrs = ec.fetch_attrs(ctx, ph_idx)
         (ph_pox, ph_poy, ph_poz, ph_nx, ph_ny, ph_nz, ph_rough,
-         ph_uvu, ph_uvv) = shade_geometry(
-            ph_attrs, ro[:, 0], ro[:, 1], ro[:, 2], pdx, pdy, pdz,
+         ph_uvu, ph_uvv) = ec.shade_geometry(
+            ctx, ph_attrs, ro[:, 0], ro[:, 1], ro[:, 2], pdx, pdy, pdz,
             ph_t, ph_s2, ph_s3)
-        _, ph_emis_eff, ph_refl_eff = material_spectra(ph_attrs, ph_uvu,
-                                                       ph_uvv)
-        ph_mat = row(ph_attrs, "mat_type").astype(jnp.int32)
+        _, ph_emis_eff, ph_refl_eff = ec.material_spectra(ctx, ph_attrs,
+                                                          ph_uvu, ph_uvv)
+        ph_mat = ec.row(ctx, ph_attrs, "mat_type").astype(jnp.int32)
 
     if do_reorder:
         ca = scene.cluster_aabbs
@@ -368,15 +251,17 @@ def run_iterations(scene: SceneData, ro, rd, state: WavefrontState,
         hit, t, idx, s2, s3 = isect(rox, roy, roz, rdx, rdy, rdz)
         hit = hit & active
 
-        attrs_t = _fetch_attrs_t(idx, shade_sub, shade_sub_t, on_pallas)
+        attrs_t = ec.fetch_attrs(ctx, idx)
         (pox, poy, poz, nx, ny, nz, roughness,
-         uvu, uvv) = shade_geometry(attrs_t, rox, roy, roz, rdx, rdy, rdz,
-                                    t, s2, s3)
-        emis_t, emis_eff, refl_eff = material_spectra(attrs_t, uvu, uvv)
+         uvu, uvv) = ec.shade_geometry(ctx, attrs_t, rox, roy, roz,
+                                       rdx, rdy, rdz, t, s2, s3)
+        emis_t, emis_eff, refl_eff = ec.material_spectra(ctx, attrs_t,
+                                                         uvu, uvv)
 
         # ---- phase C: per-path RR, contribution, bounce, termination ----
         rr_active = depth >= (max_depth - 1)
-        killed = hit & rr_active & (rr_rand > row(attrs_t, "rr_prob"))
+        killed = hit & rr_active & (rr_rand
+                                    > ec.row(ctx, attrs_t, "rr_prob"))
         miss = active & ~hit
         survive = hit & ~killed
 
@@ -388,7 +273,7 @@ def run_iterations(scene: SceneData, ro, rd, state: WavefrontState,
                                throughput)
 
         b = sampling.sample_bounce_soa(
-            row(attrs_t, "mat_type").astype(jnp.int32),
+            ec.row(ctx, attrs_t, "mat_type").astype(jnp.int32),
             rdx, rdy, rdz, nx, ny, nz, roughness, inside,
             u_rand, th_rand, fr_rand)
         back = jnp.where(b.refracted, EPS * 2.0, 0.0)

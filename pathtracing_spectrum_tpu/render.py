@@ -44,6 +44,10 @@ from .scene import Scene, SceneData
 
 MAX_TARGET_SPP = 65535  # reference GUI clamp (main.cpp:1662-1669)
 
+# compact="auto" switches the shrinking-prefix engine on at this many rays
+# (late bounce iterations run on the live prefix only; see engine_compact).
+COMPACT_AUTO_MIN_RAYS = 1 << 20
+
 # Bumped whenever the per-sample RNG key derivation changes; checkpoints
 # from a different schedule would silently resume with a different random
 # sequence, so load_checkpoint refuses them.
@@ -65,12 +69,19 @@ class RenderSession:
                  auto_backend_threshold: int = 4096,
                  resolution: Optional[tuple] = None,
                  sharding=None, tile_ordering: bool = True,
-                 persistent: bool = False):
+                 persistent: bool = False, compact: object = "auto"):
         if persistent and (jitter or dispersion or sharding is not None):
             raise ValueError("persistent wavefront mode supports neither "
                              "jitter, dispersion nor sharding (yet) — see "
                              "engine_wavefront.py")
+        if compact is True and (jitter or dispersion or persistent
+                                or sharding is not None):
+            raise ValueError("compact (shrinking-prefix) mode supports "
+                             "neither jitter, dispersion, persistent nor "
+                             "sharding — see engine_compact.py")
         self.persistent = persistent
+        self._compact_requested = compact
+        self._compact_schedule = None   # learned from the first sample
         self.scene = scene
         self.jitter = jitter
         self.seed = seed
@@ -158,6 +169,18 @@ class RenderSession:
         self._dirty = False
         self._reset_accumulator()
 
+    def use_compact(self) -> bool:
+        """Shrinking-prefix engine selection (engine_compact.py)."""
+        if self._compact_requested is False:
+            return False
+        if (self.jitter or self.dispersion or self.persistent
+                or self._sharding is not None):
+            return False            # "auto" silently defers; True raised
+        if self._compact_requested is True:
+            return True
+        w, h = self.resolution
+        return w * h >= COMPACT_AUTO_MIN_RAYS
+
     def _reset_accumulator(self) -> None:
         w, h = self.resolution
         n = w * h
@@ -226,6 +249,8 @@ class RenderSession:
         t0 = time.monotonic()
         if self.persistent:
             return self._step_persistent(n_samples, readback, t0)
+        if self.use_compact():
+            return self._step_compact(n_samples, readback, t0)
         batched = (self._sharding is None
                    or hasattr(self._sharding, "render_samples"))
         if self.jitter:
@@ -269,6 +294,50 @@ class RenderSession:
                 self._sample_counter += 1
                 self.rays_traced += int(nrays)
         jax.block_until_ready(self._out)
+        dt = time.monotonic() - t0
+        self.elapsed += dt
+        self.last_sample_time = dt / max(n_samples, 1)
+        return self.result() if readback else None
+
+    def _step_compact(self, n_samples: int, readback: bool, t0: float):
+        """Batched shrinking-prefix stepping (engine_compact.py).
+
+        The first sample ever rendered runs at full width and its alive
+        profile learns the schedule (deterministic given the seed, stored
+        in checkpoints). Samples a split poisons (live > prefix — the
+        margin was too tight) are re-rendered at full width; nothing is
+        ever silently dropped."""
+        import numpy as np
+        from .engine_compact import compact_render_samples, learn_schedule
+
+        w, h = self.resolution
+        n = w * h
+        depth = self.scene.trace_depth
+
+        def call(n_steps, counter0, schedule):
+            res = compact_render_samples(
+                self._scene_data, self._ro, self._rd, self._total,
+                self._samples, self._key, counter0, n_steps=n_steps,
+                max_depth=depth, backend=self.backend, schedule=schedule)
+            (self._total, self._samples, self._out, nrays,
+             profile, valid) = res
+            self.rays_traced += int(nrays)          # sync point
+            return profile, valid
+
+        remaining = n_samples
+        if self._compact_schedule is None:
+            profile, _ = call(1, self._sample_counter, ())
+            self._sample_counter += 1
+            remaining -= 1
+            self._compact_schedule = learn_schedule(np.asarray(profile),
+                                                    n, depth)
+        if remaining > 0:
+            counter0 = self._sample_counter
+            _, valid = call(remaining, counter0, self._compact_schedule)
+            self._sample_counter += remaining
+            for j in np.nonzero(~np.asarray(valid))[0]:
+                # deterministic full-width re-render of poisoned samples
+                call(1, counter0 + int(j), ())
         dt = time.monotonic() - t0
         self.elapsed += dt
         self.last_sample_time = dt / max(n_samples, 1)
@@ -419,6 +488,8 @@ class RenderSession:
                            if self._sharding else self._total)
         if self._inv_perm is not None:
             total = total[self._inv_perm]  # persist in scanline order
+        sched = np.asarray(self._compact_schedule or [],
+                           np.int64).reshape(-1, 2)
         np.savez(path,
                  total=total,
                  samples=np.asarray(self._samples),
@@ -429,6 +500,9 @@ class RenderSession:
                  scene_hash=self.scene.content_digest(),
                  backend=self.resolved_backend(),
                  jitter=self.jitter,
+                 compact=self.use_compact(),
+                 compact_schedule=sched,
+                 compact_learned=self._compact_schedule is not None,
                  key_schedule=KEY_SCHEDULE_VERSION)
 
     def load_checkpoint(self, path: str) -> None:
@@ -470,6 +544,17 @@ class RenderSession:
                 f"checkpoint was rendered with jitter={ck_jitter}, this "
                 f"session has jitter={self.jitter} — the per-sample ray "
                 f"schedule differs, resume would not be exact")
+        ck_compact = bool(data["compact"]) if "compact" in data.files \
+            else False
+        if ck_compact != self.use_compact():
+            raise ValueError(
+                f"checkpoint was rendered with compact={ck_compact}, this "
+                f"session resolves compact={self.use_compact()} — the "
+                f"per-sample schedule differs, resume would not be exact")
+        if ck_compact and bool(data["compact_learned"]):
+            # reuse the learned schedule so continuation is bit-exact
+            self._compact_schedule = tuple(
+                (int(h), int(p)) for h, p in data["compact_schedule"])
         ck_persistent = bool(data["persistent"]) if "persistent" in \
             data.files else False
         if ck_persistent != self.persistent:
