@@ -34,6 +34,7 @@ def rays(n, seed):
     return ro, rd
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("t", [50, 1500])
 def test_cluster_kernel_matches_dense(t):
     v1, e1, e2, n = soup(t, seed=t)

@@ -75,6 +75,7 @@ print('WORKER', pid, 'OK', res.mean())
 
 @pytest.mark.skipif(os.environ.get("PTS_SKIP_MULTIPROC") == "1",
                     reason="multi-process test disabled")
+@pytest.mark.slow
 def test_two_process_spp_allreduce(tmp_path):
     port = "19755"
     out = str(tmp_path / "mh")

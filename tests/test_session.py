@@ -159,6 +159,7 @@ def test_stats():
     assert st["triangles"] == 36
 
 
+@pytest.mark.slow
 def test_batched_hoist_matches_render_sample_exactly():
     """render_samples hoists the sample-invariant primary intersection +
     attribute fetch out of the sample loop; the result must stay BIT-equal

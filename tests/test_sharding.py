@@ -78,6 +78,7 @@ def test_spp_allreduce_step(eight_devices):
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_spp_allreduce_batched(eight_devices):
     """Batched spp-allreduce: one dispatch = n_steps * n_devices samples,
     matching the per-device single-chip streams."""
@@ -108,6 +109,7 @@ def test_spp_allreduce_batched(eight_devices):
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_session_with_tile_sharding(eight_devices):
     sc = cornell_scene(depth=2, res=(8, 8))
     base = RenderSession(sc, backend="dense", seed=1).run(target_spp=2)

@@ -42,6 +42,7 @@ def _rays(N, seed=1, park_frac=0.3):
     return ro, rd
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("T,N", [(300, 1024), (3000, 4096), (1100, 2048)])
 def test_shortlist_matches_bruteforce(T, N):
     geo, tri16, caabb = _soup(T)
@@ -125,6 +126,7 @@ def test_engine_shortlist_backend_matches_dense():
                                np.asarray(b.radiance), rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_reorder_is_bit_identical():
     """Bounce-ray reordering must not change a single bit of the result:
     block culling is conservative and hit selection is order-independent."""
@@ -147,6 +149,7 @@ def test_reorder_is_bit_identical():
     assert int(a.rays_traced) == int(b.rays_traced)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sb", [2, 4])
 def test_superblock_shortlists_match_bruteforce(sb):
     """SMEM-budget super-blocking (shortlists per sb kernel blocks) must be

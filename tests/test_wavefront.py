@@ -14,6 +14,7 @@ from pathtracing_spectrum_tpu.render import RenderSession
 from scene_helpers import cornell_scene, furnace_scene
 
 
+@pytest.mark.slow
 def test_persistent_matches_standard_statistically():
     sc = cornell_scene(depth=2, res=(16, 16))
     std = RenderSession(sc, backend="dense", seed=0)
@@ -61,6 +62,7 @@ def test_counts_advance_and_are_near_uniform():
     assert s.samples == counts.min()
 
 
+@pytest.mark.slow
 def test_persistent_checkpoint_roundtrip(tmp_path):
     p = str(tmp_path / "wf.npz")
     sc = cornell_scene(depth=2, res=(8, 8))
@@ -93,6 +95,7 @@ def test_persistent_rejects_unsupported_modes():
         RenderSession(sc, persistent=True, dispersion=True)
 
 
+@pytest.mark.slow
 def test_wavefront_textures_and_grids_match_standard(tmp_path):
     """Exercise the wavefront's has_rtex/has_grids branches: a glossy wall
     with a roughness texture + a hot/cold temperature grid must render the
