@@ -89,10 +89,10 @@ def _axis_interval(glo, ghi, olo, ohi, dlo, dhi):
             jnp.where(spans0, BIG, exit_ub))
 
 
-def group_aabbs_from_clusters(cluster_aabbs, n_groups: int):
-    """[G, 6] group AABBs = union of each group's KC cluster boxes
+def group_aabbs_from_clusters(cluster_aabbs, n_groups: int, kc: int = KC):
+    """[G, 6] group AABBs = union of each group's kc cluster boxes
     (padding clusters carry inverted boxes and are skipped)."""
-    grouped = cluster_aabbs.reshape(n_groups, KC, 8)
+    grouped = cluster_aabbs.reshape(n_groups, kc, 8)
     valid = grouped[:, :, 0:3] <= grouped[:, :, 3:6]
     gmin = jnp.min(jnp.where(valid, grouped[:, :, 0:3], jnp.inf), axis=1)
     gmax = jnp.max(jnp.where(valid, grouped[:, :, 3:6], -jnp.inf), axis=1)
@@ -112,29 +112,38 @@ def build_shortlists(rays, group_aabb, group_valid, block_rows: int = _RB):
 
     Returns (order [NB, G] int32 front-to-back group ids, counts [NB] int32,
     tnear [NB, G] f32 entry-t lower bound in shortlist order, BIG past count).
+
+    All three axes run as single batched [3, NB, G] ops instead of a
+    per-axis Python loop (3x fewer fusion instances; measured NEUTRAL at
+    246k tris / 512² — ~33 ms either way, so the cost is not op-count
+    there — kept for the larger-G regime where instance count grows).
+    Per-element arithmetic is unchanged, so results are bit-identical.
     """
     rows_total = rays.shape[1]
     nb = rows_total // block_rows
     r = rays.reshape(6, nb, block_rows * _LANES)
     parked = (r[3] == 0.0) & (r[4] == 0.0) & (r[5] == 0.0)   # [NB, B]
 
-    def bounds(plane):
-        lo = jnp.min(jnp.where(parked, jnp.inf, plane), axis=1)
-        hi = jnp.max(jnp.where(parked, -jnp.inf, plane), axis=1)
-        return lo[:, None], hi[:, None]                       # [NB, 1]
-
+    pk = parked[None]
+    lo = jnp.min(jnp.where(pk, jnp.inf, r), axis=2)           # [6, NB]
+    hi = jnp.max(jnp.where(pk, -jnp.inf, r), axis=2)
     block_valid = ~jnp.all(parked, axis=1)                    # [NB]
 
-    enter_lb = jnp.full((nb, group_aabb.shape[0]), -BIG, jnp.float32)
-    exit_ub = jnp.full((nb, group_aabb.shape[0]), BIG, jnp.float32)
-    for ax in range(3):
-        olo, ohi = bounds(r[ax])
-        dlo, dhi = bounds(r[3 + ax])
-        glo = group_aabb[None, :, ax]
-        ghi = group_aabb[None, :, 3 + ax]
-        e, x = _axis_interval(glo, ghi, olo, ohi, dlo, dhi)
-        enter_lb = jnp.maximum(enter_lb, e)
-        exit_ub = jnp.minimum(exit_ub, x)
+    olo, ohi = lo[0:3][:, :, None], hi[0:3][:, :, None]       # [3, NB, 1]
+    dlo, dhi = lo[3:6][:, :, None], hi[3:6][:, :, None]
+    gt = group_aabb.T                                          # [6, G]
+    glo = gt[0:3][:, None, :]                                  # [3, 1, G]
+    ghi = gt[3:6][:, None, :]
+
+    spans0 = (dlo <= 0.0) & (dhi >= 0.0)
+    sd_lo = jnp.where(spans0, 1.0, dlo)
+    sd_hi = jnp.where(spans0, 1.0, dhi)
+    q0lo, q0hi = _interval_quotient(glo - ohi, glo - olo, sd_lo, sd_hi)
+    q1lo, q1hi = _interval_quotient(ghi - ohi, ghi - olo, sd_lo, sd_hi)
+    enter = jnp.where(spans0, -BIG, jnp.minimum(q0lo, q1lo))  # [3, NB, G]
+    exit_ = jnp.where(spans0, BIG, jnp.maximum(q0hi, q1hi))
+    enter_lb = jnp.max(enter, axis=0)                         # [NB, G]
+    exit_ub = jnp.min(exit_, axis=0)
 
     hit = ((enter_lb < exit_ub) & (exit_ub >= 0.0)
            & block_valid[:, None] & group_valid[None, :])

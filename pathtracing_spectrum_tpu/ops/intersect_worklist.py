@@ -49,7 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .intersect_pallas import BIG, CLUSTER, _LANES, _slab_block
-from .intersect_shortlist import (GROUP_T, KC, _RB, build_shortlists,
+from .intersect_shortlist import (_RB, build_shortlists,
                                   group_aabbs_from_clusters,
                                   intersect_shortlist_pallas_soa)
 
@@ -57,10 +57,17 @@ from .intersect_shortlist import (GROUP_T, KC, _RB, build_shortlists,
 # shared; this is an AVERAGE, not a per-block cap).
 BUDGET_PER_BLOCK = 16
 
+# Default clusters (of 128 BVH-ordered triangles) per worklist group.
+# Smaller groups = finer stage-1 culling granularity (fewer dead
+# triangles swept per shortlist entry) at the cost of more worklist
+# entries — the work-proportional grid makes that trade cheap, which the
+# round-2 kernel's (NB, G) grid could not.
+KC_DEFAULT = 8
+
 
 def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
                aabb_ref, best_t_ref, best_i_ref, best_s2_ref, best_s3_ref,
-               *, rows, kc):
+               *, rows, kc, group_t):
     w = pl.program_id(0)
     blk = wl_block_ref[w]
     prev = wl_block_ref[jnp.maximum(w - 1, 0)]
@@ -113,7 +120,7 @@ def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
                 c1 = tri_ref[base:base + CLUSTER, 13:14]
                 c2 = tri_ref[base:base + CLUSTER, 14:15]
                 c3 = tri_ref[base:base + CLUSTER, 15:16]
-                tri_base = gidx * GROUP_T + base
+                tri_base = gidx * group_t + base
 
                 for r in range(rows):
                     rox = ray_ref[0, r:r + 1, :]
@@ -163,10 +170,11 @@ def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
                         better, s3_sel, best_s3_ref[r:r + 1, :])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "bpb"))
+@functools.partial(jax.jit, static_argnames=("interpret", "bpb", "kc"))
 def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
                                   cluster_aabbs, interpret: bool = False,
-                                  bpb: int = BUDGET_PER_BLOCK):
+                                  bpb: int = BUDGET_PER_BLOCK,
+                                  kc: int = KC_DEFAULT):
     """Closest hit via the pooled-worklist kernel.
 
     Args:
@@ -175,6 +183,8 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
       cluster_aabbs: [ceil(T/CLUSTER), 8] from build_cluster_aabbs.
       bpb: pooled worklist budget per ray block (shared pool; see module
         docstring). Totals above the pool fall back to the round-2 kernel.
+      kc: clusters (of 128 triangles) per group — the stage-1 culling and
+        DMA granularity.
 
     Returns (hit [N] bool, t [N], idx [N] int32, s2 [N], s3 [N]),
     idx in BVH order — identical selection to the dense sweep.
@@ -193,12 +203,13 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
     nb = rows_total // _RB
     rays = jnp.stack(comps).reshape(6, rows_total, _LANES)
 
-    pad_t = (-t_count) % GROUP_T
+    group_t = kc * CLUSTER
+    pad_t = (-t_count) % group_t
     if pad_t:
         tri_pack = jnp.concatenate(
             [tri_pack, jnp.zeros((pad_t, 16), tri_pack.dtype)])
-    n_groups = (t_count + pad_t) // GROUP_T
-    n_clusters = n_groups * KC
+    n_groups = (t_count + pad_t) // group_t
+    n_clusters = n_groups * kc
     if cluster_aabbs.shape[0] < n_clusters:
         extra = n_clusters - cluster_aabbs.shape[0]
         never = jnp.tile(jnp.asarray(
@@ -207,7 +218,7 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
         cluster_aabbs = jnp.concatenate([cluster_aabbs, never])
 
     group_aabb, group_valid = group_aabbs_from_clusters(cluster_aabbs,
-                                                        n_groups)
+                                                        n_groups, kc=kc)
     order, counts, _tnear = build_shortlists(rays, group_aabb, group_valid,
                                              block_rows=_RB)
 
@@ -238,17 +249,18 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
                 pl.BlockSpec((6, _RB, _LANES),
                              lambda w, wb, wg, wa: (0, wb[w], 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((GROUP_T, 16),
+                pl.BlockSpec((group_t, 16),
                              lambda w, wb, wg, wa: (wg[w], 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((KC, 8),
+                pl.BlockSpec((kc, 8),
                              lambda w, wb, wg, wa: (wg[w], 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[out_spec] * 4,
         )
         return pl.pallas_call(
-            functools.partial(_wl_kernel, rows=_RB, kc=KC),
+            functools.partial(_wl_kernel, rows=_RB, kc=kc,
+                              group_t=group_t),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),
