@@ -104,7 +104,7 @@ def resolve_backend(backend: str, n_tris: int) -> str:
     if backend == "auto":
         if on_tpu:
             backend = ("dense" if n_tris <= DENSE_AUTO_MAX_TRIS
-                       else "worklist")
+                       else "hier")
         else:
             backend = "dense" if n_tris <= 8192 else "bvh"
     if backend == "dense" and on_tpu:
@@ -189,19 +189,36 @@ def make_intersector(scene: SceneData, backend: str, leaf_size: int = 4):
     tri16 = (pack_tri16(scene.tri_face_n, scene.tri_k1, scene.tri_k2,
                         scene.tri_k3, scene.tri_consts)
              if backend in ("dense_pallas", "cluster", "shortlist",
-                            "worklist")
+                            "worklist", "hier")
              else None)
 
     def intersect(ox, oy, oz, dx, dy, dz):
         if backend == "dense_pallas":
             return intersect_dense_pallas_soa(ox, oy, oz, dx, dy, dz, tri16)
-        if backend == "worklist":
+        if backend == "hier":
+            # size-resolved at trace time: the round-2 shortlist kernel is
+            # ~2-3% faster while its [NB, G] prefetch arrays fit SMEM
+            # (measured 52k/246k/1080p); the pooled-worklist kernel takes
+            # over in the super-blocking regime where per-block shortlists
+            # would otherwise coarsen (its prefetch is O(W), not O(NB*G))
+            from .ops.intersect_shortlist import (_LANES as _L, _RB as _R,
+                                                  GROUP_T,
+                                                  _SMEM_SHORTLIST_BYTES)
+            nb = -(-ox.shape[0] // (_R * _L))
+            n_groups = -(-n_tris // GROUP_T)
+            if nb * n_groups * 4 > _SMEM_SHORTLIST_BYTES:
+                backend_here = "worklist"
+            else:
+                backend_here = "shortlist"
+        else:
+            backend_here = backend
+        if backend_here == "worklist":
             from .ops.intersect_worklist import intersect_worklist_pallas_soa
             interp = jax.devices()[0].platform.lower() not in ("tpu", "axon")
             return intersect_worklist_pallas_soa(
                 ox, oy, oz, dx, dy, dz, tri16, scene.cluster_aabbs,
                 interpret=interp)
-        if backend == "shortlist":
+        if backend_here == "shortlist":
             from .ops.intersect_shortlist import intersect_shortlist_pallas_soa
             interp = jax.devices()[0].platform.lower() not in ("tpu", "axon")
             return intersect_shortlist_pallas_soa(
@@ -293,12 +310,12 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
 
     on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
     on_pallas = on_tpu and backend in ("dense_pallas", "cluster",
-                                       "shortlist", "worklist")
+                                       "shortlist", "worklist", "hier")
 
     # ---- bounce-ray reordering (block coherence for culling kernels) ----
     do_reorder = (reorder is True
                   or (reorder == "auto" and on_pallas
-                      and backend in ("cluster", "shortlist", "worklist")
+                      and backend in ("cluster", "shortlist", "worklist", "hier")
                       and n_tris >= REORDER_AUTO_MIN_TRIS))
     if do_reorder:
         _POS_BITS = REORDER_POS_BITS
@@ -709,7 +726,7 @@ def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
         shade_sub0 = scene.tri_shade[:, cols_idx0]
         on_pallas = (jax.devices()[0].platform.lower() in ("tpu", "axon")
                      and resolved in ("dense_pallas", "cluster",
-                                      "shortlist", "worklist"))
+                                      "shortlist", "worklist", "hier"))
         attrs0 = _fetch_attrs_t(hit0[2], shade_sub0, shade_sub0.T, on_pallas)
         primary0 = hit0 + (attrs0,)
     else:

@@ -52,7 +52,7 @@ def make_ctx(scene, backend: str = "auto", leaf_size: int = 4) -> ShadeCtx:
     shade_sub = scene.tri_shade[:, cols_idx]
     on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
     on_pallas = on_tpu and rbackend in ("dense_pallas", "cluster",
-                                        "shortlist", "worklist")
+                                        "shortlist", "worklist", "hier")
     return ShadeCtx(scene, sub, shade_sub, shade_sub.T,
                     has_ntex, has_rtex, has_grids,
                     rbackend != "dense_pallas", on_pallas, rbackend,

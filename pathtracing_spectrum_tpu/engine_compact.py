@@ -49,6 +49,20 @@ engine.
 Not supported (RenderSession raises): jitter (the primary hoist and
 learning assume static primaries), dispersion (hero packing is already
 width-1), sharding.
+
+**Measured verdict (v5e, round 3): correct but SLOWER — opt-in only.**
+Textured 1080p: 0.19 vs 2.25 spp/s. The whole-state split moves (packed
+[P, 16] row gathers, the [nw, P] transposes around them, and the
+per-sample argsort(src) unscramble) cost seconds at 2M rays on this
+memory system — the round-2 cost-model numbers that made them look
+affordable (segmented argsort 3.1 ms, row gathers 10-12 ms @2M) turned
+out to be dispatch-latency artifacts of a warm-up that relied on
+``block_until_ready``, which does not block through the axon relay
+(docs/tpu_cost_model.md, round-3 correction). The engine is kept as a
+correct, schedule-learned, poison-safe implementation of the design —
+``RenderSession(compact=True)`` — and as the measurement record; on
+hardware where permutation moves run near memcpy speed the same code is
+the right architecture.
 """
 
 from __future__ import annotations
@@ -145,7 +159,7 @@ def compact_render_samples(scene, ro, rd, total, samples, base_key,
     assert n < (1 << 24), "float-exact src pack needs N < 2^24"
     ctx = ec.make_ctx(scene, backend, leaf_size)
     do_reorder = (ctx.on_pallas
-                  and ctx.backend in ("cluster", "shortlist", "worklist")
+                  and ctx.backend in ("cluster", "shortlist", "worklist", "hier")
                   and n_tris >= REORDER_AUTO_MIN_TRIS)
     smin, inv_ext = _scene_bounds(scene)
 

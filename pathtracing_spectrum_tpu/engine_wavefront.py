@@ -125,7 +125,7 @@ def run_iterations(scene: SceneData, ro, rd, state: WavefrontState,
     ctx = ec.make_ctx(scene, backend, leaf_size)
     intersect = ctx.intersect
     do_reorder = (ctx.on_pallas and ctx.backend in ("cluster", "shortlist",
-                                                    "worklist")
+                                                    "worklist", "hier")
                   and n_tris >= REORDER_AUTO_MIN_TRIS)
     # restart-at-first-bounce needs RR-free primary hits: RR activates at
     # hit index max_depth-1, so max_depth == 1 restarts at the primary ray

@@ -44,9 +44,14 @@ from .scene import Scene, SceneData
 
 MAX_TARGET_SPP = 65535  # reference GUI clamp (main.cpp:1662-1669)
 
-# compact="auto" switches the shrinking-prefix engine on at this many rays
-# (late bounce iterations run on the live prefix only; see engine_compact).
-COMPACT_AUTO_MIN_RAYS = 1 << 20
+# compact="auto" switches the shrinking-prefix engine on at this many rays.
+# Measured verdict (v5e, round 3): the split's whole-state row moves cost
+# far more than the saved lane width at every size tried (textured 1080p:
+# 0.19 vs 2.25 spp/s) — the r2 cost-model numbers that motivated the
+# design were measurement artifacts (docs/tpu_cost_model.md). The engine
+# stays correct and opt-in (compact=True); "auto" therefore never enables
+# it on this hardware.
+COMPACT_AUTO_MIN_RAYS = 1 << 62
 
 # Bumped whenever the per-sample RNG key derivation changes; checkpoints
 # from a different schedule would silently resume with a different random
@@ -69,7 +74,7 @@ class RenderSession:
                  auto_backend_threshold: int = 4096,
                  resolution: Optional[tuple] = None,
                  sharding=None, tile_ordering: bool = True,
-                 persistent: bool = False, compact: object = "auto"):
+                 persistent: bool = False, compact: object = False):
         if persistent and (jitter or dispersion or sharding is not None):
             raise ValueError("persistent wavefront mode supports neither "
                              "jitter, dispersion nor sharding (yet) — see "

@@ -72,3 +72,24 @@ def test_engine_worklist_backend_matches_dense():
                        rand_override=rand)
     np.testing.assert_allclose(np.asarray(a.radiance),
                                np.asarray(b.radiance), rtol=2e-4, atol=1e-6)
+
+
+def test_engine_hier_backend_matches_dense():
+    """'hier' (the TPU auto choice) resolves shortlist-vs-worklist by the
+    SMEM-budget regime at trace time; either way it must match dense."""
+    from scene_helpers import cornell_scene
+    from pathtracing_spectrum_tpu import camera_rays
+    from pathtracing_spectrum_tpu.engine import trace_radiance
+
+    sc = cornell_scene()
+    scene = sc.compile()
+    ro, rd = camera_rays(sc.camera(), 16, 16)
+    rng = np.random.default_rng(7)
+    rand = jnp.asarray(rng.uniform(0, 1, (6, 4, 256)).astype(np.float32))
+    key = jax.random.key(0)
+    a = trace_radiance(scene, ro, rd, key, 3, backend="dense",
+                       rand_override=rand)
+    b = trace_radiance(scene, ro, rd, key, 3, backend="hier",
+                       rand_override=rand)
+    np.testing.assert_allclose(np.asarray(a.radiance),
+                               np.asarray(b.radiance), rtol=2e-4, atol=1e-6)
