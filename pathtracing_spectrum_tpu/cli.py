@@ -42,7 +42,8 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="CIE XYZ->sRGB color PNG (visible-range scenes; "
                         "thermal-IR wavenumbers map to black)")
     r.add_argument("--backend", default="auto",
-                   choices=["auto", "dense", "dense_pallas", "bvh"])
+                   choices=["auto", "dense", "dense_pallas", "bvh",
+                            "shortlist", "worklist", "cluster", "hier"])
     r.add_argument("--depth", type=int, default=None,
                    help="override trace depth (1..10)")
     r.add_argument("--res", default=None, help="override resolution WxH")
@@ -64,6 +65,11 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="persistent-wavefront mode: slots restart their "
                         "pixel's next sample on termination (~100%% lane "
                         "occupancy; fastest on deep/complex scenes)")
+    r.add_argument("--compact", action="store_true",
+                   help="shrinking-prefix (compaction) engine: late "
+                        "bounce iterations run on the live-ray prefix "
+                        "only (experimental; see engine_compact.py's "
+                        "measured verdict)")
     r.add_argument("--batch", type=int, default=8,
                    help="samples per device dispatch")
     r.add_argument("--checkpoint", default=None,
@@ -166,7 +172,8 @@ def cmd_render(args) -> int:
     session = RenderSession(scene, backend=args.backend, seed=args.seed,
                             jitter=args.jitter, resolution=resolution,
                             sharding=sharding, dispersion=args.dispersion,
-                            persistent=args.persistent)
+                            persistent=args.persistent,
+                            compact=args.compact)
     if args.resume:
         session.start()
         session.load_checkpoint(args.resume)
