@@ -89,6 +89,9 @@ def _load() -> "ctypes.CDLL | None":
         lib.pts_bvh_export.argtypes = [ctypes.c_void_p, p_f32, p_f32, p_i32,
                                        p_i32, p_i32, p_i64]
         lib.pts_bvh_free.argtypes = [ctypes.c_void_p]
+        lib.pts_export_spectrum.restype = c_i32
+        lib.pts_export_spectrum.argtypes = [ctypes.c_char_p, p_f32, c_i32,
+                                            c_i32, c_i32]
         _lib = lib
         return _lib
 
@@ -178,3 +181,14 @@ def build_bvh_native(tri_min: np.ndarray, tri_max: np.ndarray,
                        node_first=first, node_count=count, tri_order=order)
     finally:
         lib.pts_bvh_free(handle)
+
+
+def export_spectrum_native(path: str, image) -> bool:
+    """Write a [H, W, nw] f32 spectral image as the reference's ASCII
+    export (byte-identical to the Python writer); False if unavailable."""
+    lib = _load()
+    if lib is None:
+        return False
+    img = np.ascontiguousarray(np.asarray(image, np.float32))
+    h, w, nw = img.shape
+    return lib.pts_export_spectrum(path.encode(), _fptr(img), h, w, nw) == 0

@@ -22,6 +22,8 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
+#include <charconv>
+#include <cmath>
 #include <cstring>
 #include <string>
 #include <vector>
@@ -453,5 +455,43 @@ void pts_bvh_export(BvhHandle* h, float* node_min, float* node_max,
 }
 
 void pts_bvh_free(BvhHandle* h) { delete h; }
+
+// ---------------------------------------------------------------------------
+// Spectral ASCII export (reference ExportAt, main.cpp:951-983): for each
+// wavelength, h lines of w "%g "-formatted values, NaN -> 0, top row first.
+// Byte-identical to the Python writer (utils/spectral_io.format_spectrum);
+// exists because formatting 10s of MB of text dominates export time at
+// 1080p+ in Python.
+// ---------------------------------------------------------------------------
+int32_t pts_export_spectrum(const char* path, const float* img, int32_t h,
+                            int32_t w, int32_t nw) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return 1;
+  // std::to_chars(general, 6) is specified to format "as if by printf %g"
+  // in the C locale — byte-identical to the Python writer — at a fraction
+  // of fprintf's per-call cost (no format parsing, no locale, no lock).
+  std::vector<char> line((size_t)w * 16 + 64);
+  for (int32_t k = 0; k < nw; ++k) {
+    for (int32_t i = 0; i < h; ++i) {
+      const float* row = img + ((int64_t)i * w) * nw;
+      char* p = line.data();
+      for (int32_t j = 0; j < w; ++j) {
+        double v = (double)row[(int64_t)j * nw + k];
+        if (std::isnan(v)) v = 0.0;
+        auto res = std::to_chars(p, line.data() + line.size() - 2, v,
+                                 std::chars_format::general, 6);
+        p = res.ptr;
+        *p++ = ' ';
+      }
+      *p++ = '\n';
+      if (std::fwrite(line.data(), 1, (size_t)(p - line.data()), f)
+          != (size_t)(p - line.data())) {
+        std::fclose(f);
+        return 1;
+      }
+    }
+  }
+  return std::fclose(f) ? 1 : 0;
+}
 
 }  // extern "C"

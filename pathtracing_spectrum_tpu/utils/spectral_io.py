@@ -74,10 +74,17 @@ def format_spectrum(image: np.ndarray) -> str:
 def export_spectrum(path: str, image: np.ndarray) -> None:
     """Write the result exactly like ``ExportAt`` (main.cpp:951-983).
 
-    ``image``: [H, W, nw] with row 0 = image top.
+    ``image``: [H, W, nw] with row 0 = image top. Uses the native (C++)
+    writer when available — byte-identical output, ~10x faster on the
+    10s-of-MB exports a 1080p/4K render produces — with this Python
+    formatter as the fallback.
     """
+    from ..native import export_spectrum_native
+    img = np.asarray(image)
+    if img.ndim == 3 and img.size and export_spectrum_native(path, img):
+        return
     with open(path, "w", newline="\n") as f:
-        f.write(format_spectrum(np.asarray(image)))
+        f.write(format_spectrum(img))
 
 
 def import_spectrum(path: str, width: int, height: int,

@@ -117,3 +117,20 @@ def test_session_with_tile_sharding(eight_devices):
                          sharding=TileSharding(make_mesh(eight_devices)))
     sharded = sess.run(target_spp=2)
     np.testing.assert_allclose(base, sharded, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_tile_sharding_batched_jitter_matches_unsharded(eight_devices):
+    """Batched jitter under TileSharding (px/py shard with the rays) must
+    reproduce the unsharded jitter image bit-for-bit: the same JitterCam
+    draws, partitioned over pixels with no collectives."""
+    sc = cornell_scene(depth=2, res=(16, 16))
+    a = RenderSession(sc, backend="dense", jitter=True, seed=6)
+    img_a = a.run(target_spp=3)
+
+    sc2 = cornell_scene(depth=2, res=(16, 16))
+    mesh = make_mesh(eight_devices)
+    b = RenderSession(sc2, backend="dense", jitter=True, seed=6,
+                      sharding=TileSharding(mesh))
+    img_b = b.run(target_spp=3)
+    np.testing.assert_array_equal(img_a, img_b)

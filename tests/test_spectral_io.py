@@ -43,3 +43,30 @@ def test_default_export_name():
     # reference keeps 0-based month and no zero padding (main.cpp:995-1002)
     assert name == "myscene_202427_9_5_2.txt"
     assert spectral_io.default_export_name("", t).startswith("Untitled_")
+
+
+def test_native_export_byte_identical(tmp_path):
+    """The C++ exporter (std::to_chars general/6 == printf %g == the
+    Python formatter) must produce byte-identical files, NaN->0 and all
+    exponent/edge cases included."""
+    import numpy as np
+    import pytest
+    from pathtracing_spectrum_tpu.native import (available,
+                                                 export_spectrum_native)
+    from pathtracing_spectrum_tpu.utils.spectral_io import format_spectrum
+
+    if not available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    img = rng.normal(0, 1e3, (19, 23, 3)).astype(np.float32)
+    img[0, 0, 0] = np.nan
+    img[1, 2, 1] = 0.0
+    img[2, 3, 2] = -0.0
+    img[3, 4, 0] = 1e-38
+    img[5, 6, 1] = 3.0e38
+    img[9, 9, 0] = 123456.7
+    img[10, 10, 1] = 1234567.8
+    img[11, 11, 2] = 0.000012345
+    p = str(tmp_path / "n.txt")
+    assert export_spectrum_native(p, img)
+    assert open(p).read() == format_spectrum(img)
