@@ -1,68 +1,70 @@
 """Compaction-across-dispatches progressive engine (shrinking live prefix).
 
 The lockstep engine advances one sample of every pixel through ``2*depth``
-bounce iterations at FULL lane width; its alive fraction decays fast
-(textured 1080p: average ~1.9 live iterations of 6), so late iterations
-pay full-width intersect/fetch/shade for mostly-dead lanes — XLA's static
-shapes make those lanes unskippable *within* one trace. This engine makes
-the width itself shrink, the design specced in docs/tpu_cost_model.md
-("round-3 lead"): the capability anchor is the reference, which never
-pays for dead pixels — a terminated path simply returns up the recursion
+bounce iterations at FULL lane width. The alive fraction decays fast
+(measured entry-live fractions, v5e round 3: terrain-246k
+[1.0, .38, .18, .09, .05, .03]; textured 1080p [1.0, .72, .52, .41, .33,
+.27]), so late iterations pay full-width intersect/fetch/shade for
+mostly-dead lanes — XLA's static shapes make those lanes unskippable
+within one trace. The capability anchor is the reference, which never
+pays for dead pixels: a terminated path simply returns up the recursion
 (pathtracer.cpp:581-598).
 
-How it works, all inside ONE dispatch per batch (static shapes):
+Round-3 v1 of this engine implemented the shrink as whole-state row moves
+at split points and measured 0.19 vs 2.25 spp/s at 1080p — the packed
+[P, C] gathers, [nw, P] transposes, per-split ``dynamic_update_slice``
+into an [N, C] buffer and a *global* per-sample ``argsort`` cost more
+than the saved width. This v2 restructures the data movement so that
+compaction costs (almost) nothing extra over what the lockstep engine
+already pays:
 
-* the 2*depth bounce iterations are cut into **spans** by a per-scene
-  ``schedule``: a tuple of ``(h, P)`` pairs — "from iteration h on, only
-  the first P ray slots exist". Span 0 is always (0, N).
-* at each split the live rays are sorted to the front (the same segmented
-  octant/morton sort the engine already runs per bounce, with dead rays
-  keyed to the top) and the whole per-ray state — rays, throughput,
-  radiance, inside flag, original slot id — moves as ONE packed
-  [P, 8+2nw] row table. Subsequent iterations run every component
-  (intersect, attribute fetch, texturing, shading, RNG) at width P.
-* the schedule is **learned, not guessed**: the first sample runs with an
-  empty schedule (full width — bit-identical to engine.render_samples by
-  construction) and returns the per-iteration alive counts; the host
-  quantizes them (x1.15 margin, power-of-two-ish rungs) into a schedule
-  and compiles the batched variant once. Counts are deterministic given
-  the seed, so the schedule — and therefore every rendered image — is
-  reproducible run-to-run and across checkpoint resume (the schedule is
-  saved in checkpoints).
-* correctness never depends on the margin: each split also counts the
-  live rays; if they exceed the new prefix the sample is **poisoned** —
-  its contribution is zeroed, its slot in the returned validity mask
-  cleared, and the host re-renders exactly those samples at full width
-  (deterministically). No ray is ever silently dropped.
-* a sample's radiance ends in split-scrambled order; each row carries its
-  original slot id, so one ``argsort(src)`` + one [N, nw] row gather per
-  sample restores slot order before accumulation.
+* **The shrink rides the per-bounce sort.** The lockstep engine already
+  runs a segmented (dead-top, direction-octant, origin-morton) argsort
+  every bounce and applies it as a packed row gather around the
+  intersection — round trip: gather 6 ray planes in, inverse-gather 4
+  result planes out. Here the sort is *persistent*: ONE packed gather
+  moves the whole per-ray state (8+2nw planes) into sorted order and
+  nothing is gathered back — downstream shading simply runs in sorted
+  order. One argsort per bounce instead of two, 8+2nw gathered columns
+  instead of 6+4.
+* **Compaction = slicing the permutation.** Dead rays sort to each
+  segment's tail, so shrinking to a per-segment prefix ``Q`` means
+  gathering only ``perm[:, :Q]`` — a *smaller* gather than full width.
+  No data moves to compact; less data moves.
+* **Segments never exchange rays**, so every permutation is
+  segment-local. Dropped (dead) rows' ``(src, radiance)`` are banked
+  into a full-width per-segment buffer with *static* slice updates, and
+  the end-of-sample unscramble is one segmented argsort + one [N, nw]
+  segmented row gather — the same shapes the lockstep engine's
+  per-bounce unsort already runs.
+* **RNG is bit-identical to the lockstep engine.** Lockstep bounce ``h``
+  draws ``uniform(fold_in(key, h), (4, N))`` and ray ``s`` consumes
+  column ``s``. With jax's partitionable threefry (the default), the
+  variate at flat position ``c*N + s`` is ``hash(counter=c*N+s)`` — so
+  the compacted engine evaluates the hash directly at the gathered
+  counters ``c*N + src`` (pure compute, no gather, no transpose) and
+  every surviving ray consumes the *same* variate it would in lockstep
+  (pinned by test against ``jax.random.uniform``). A sample whose live
+  rays all fit the schedule therefore renders BIT-IDENTICAL to
+  engine.render_samples; one that does not is poisoned and re-rendered
+  full-width by the host. Nothing is ever approximated or dropped.
+* The schedule is **learned, not guessed**: the first sample runs at
+  full width and returns per-iteration max-per-segment live counts; the
+  host quantizes them (x1.15 margin, 1024-ray rungs) into a static
+  ``(iteration, width)`` schedule. Counts are deterministic given the
+  seed, so images are reproducible run-to-run and across resume (the
+  schedule is saved in checkpoints).
 
-RNG schedule: sample i uses ``fold_in(base_key, counter0 + i)``, bounce h
-draws ``uniform(fold_in(key_i, h), (4, P_h))`` — with an empty schedule
-(P_h == N everywhere) this is byte-for-byte the lockstep engine's
-schedule, which the bit-identity test pins. With splits the draws are
-assigned by compacted position instead of slot — a different (equally
-i.i.d.) variate assignment, statistically validated like the persistent
-engine.
+Segment occupancy note: the shrink width is ``ns * max_s(live_s)``, so
+spatially clustered liveness (one hot segment) wastes width. The render
+session therefore interleaves ray *blocks* round-robin across segments
+(:func:`interleave_blocks`) — a host-side permutation composed into its
+existing tile order, making per-segment liveness uniform. Correctness
+never depends on the ray order.
 
 Not supported (RenderSession raises): jitter (the primary hoist and
 learning assume static primaries), dispersion (hero packing is already
 width-1), sharding.
-
-**Measured verdict (v5e, round 3): correct but SLOWER — opt-in only.**
-Textured 1080p: 0.19 vs 2.25 spp/s. The whole-state split moves (packed
-[P, 16] row gathers, the [nw, P] transposes around them, and the
-per-sample argsort(src) unscramble) cost seconds at 2M rays on this
-memory system — the round-2 cost-model numbers that made them look
-affordable (segmented argsort 3.1 ms, row gathers 10-12 ms @2M) turned
-out to be dispatch-latency artifacts of a warm-up that relied on
-``block_until_ready``, which does not block through the axon relay
-(docs/tpu_cost_model.md, round-3 correction). The engine is kept as a
-correct, schedule-learned, poison-safe implementation of the design —
-``RenderSession(compact=True)`` — and as the measurement record; on
-hardware where permutation moves run near memcpy speed the same code is
-the right architecture.
 """
 
 from __future__ import annotations
@@ -75,11 +77,11 @@ import jax.numpy as jnp
 
 from .constants import EPS
 from .ops import sampling
-from .engine import (BIG, REORDER_AUTO_MIN_TRIS, REORDER_POS_BITS,
-                     REORDER_SEGMENT)
+from .engine import REORDER_AUTO_MIN_TRIS, REORDER_POS_BITS, REORDER_SEGMENT
 from . import engine_common as ec
 
-# Schedule quantization: prefixes are multiples of this (and of 1024).
+# Schedule quantization: per-segment prefixes are multiples of this.
+PREFIX_RUNG = 1024
 PREFIX_MARGIN = 1.15
 MAX_SPLITS = 3
 
@@ -93,6 +95,27 @@ def _segment_for(n: int) -> int:
     return n
 
 
+def interleave_blocks(n: int):
+    """Host-side permutation spreading 1024-ray blocks round-robin over
+    the engine's sort segments, so per-segment liveness tracks the global
+    fraction instead of the worst spatial cluster (the shrink width is
+    ``ns * max_s(live_s)``). Blocks stay contiguous — the intersection
+    kernels' block-granular culling sees the same 32x32 screen tiles.
+
+    Returns an [n] int32 numpy permutation (``rays_engine = rays[perm]``)
+    or None when there is a single segment (nothing to spread).
+    """
+    import numpy as np
+    seg = _segment_for(n)
+    ns = n // seg
+    if ns <= 1 or seg % 1024 or n % 1024:
+        return None
+    spb = seg // 1024                       # blocks per segment
+    blk = np.arange(n // 1024, dtype=np.int64).reshape(spb, ns).T
+    perm = blk.reshape(-1)[:, None] * 1024 + np.arange(1024)[None, :]
+    return perm.reshape(-1).astype(np.int32)
+
+
 def _scene_bounds(scene):
     ca = scene.cluster_aabbs
     cvalid = (ca[:, 0] <= ca[:, 3])[:, None]
@@ -101,9 +124,14 @@ def _scene_bounds(scene):
     return smin, 1.0 / jnp.maximum(smax - smin, 1e-6)
 
 
-def _sort_key(ox, oy, oz, dx, dy, dz, alive, smin, inv_ext):
+def _sort_key(ox, oy, oz, dx, dy, dz, alive, smin, inv_ext, morton: bool):
     """Engine.body's reorder key: (dead, direction octant, origin morton);
-    dead rays key to the top bucket so live rays compact to the front."""
+    dead rays key to the top bucket so live rays compact to the front.
+    ``morton=False`` keeps only the dead bit (backends without block
+    culling gain nothing from coherence; the sort still compacts)."""
+    dead_bit = jnp.int32(1) << (3 * REORDER_POS_BITS + 3)
+    if not morton:
+        return jnp.where(alive, 0, dead_bit)
     cells = 1 << REORDER_POS_BITS
 
     def q(v, lo, ie):
@@ -122,17 +150,28 @@ def _sort_key(ox, oy, oz, dx, dy, dz, alive, smin, inv_ext):
               + (dy < 0).astype(jnp.int32) * 2
               + (dz < 0).astype(jnp.int32))
     key = (octant << (3 * REORDER_POS_BITS)) | m
-    return jnp.where(alive, key, jnp.int32(1) << (3 * REORDER_POS_BITS + 3))
+    return jnp.where(alive, key, dead_bit)
 
 
-def _segmented_perm(key, n):
-    seg = _segment_for(n)
-    ns = n // seg
-    perm_l = jnp.argsort(key.reshape(ns, seg), axis=1,
-                         stable=True).astype(jnp.int32)
-    inv_l = jnp.argsort(perm_l, axis=1).astype(jnp.int32)
-    offs = (jnp.arange(ns, dtype=jnp.int32) * seg)[:, None]
-    return (perm_l + offs).reshape(-1), (inv_l + offs).reshape(-1)
+def _uniform4_at(key_h, src_f, n: int):
+    """The exact variates ``jax.random.uniform(key_h, (4, n))[:, src]``
+    without materializing the full draw or gathering: with partitionable
+    threefry (jax's default), the variate at flat position ``c*n + s`` is
+    a pure counter hash — evaluate it at the gathered counters.
+    Equality with ``jax.random.uniform`` is pinned by
+    tests/test_compact.py (uniform internals: jax._src.random._uniform;
+    counters: jax._src.prng._threefry_random_bits_partitionable)."""
+    from jax._src.prng import threefry2x32_p
+    kd = jax.random.key_data(key_h)
+    src_u = src_f.astype(jnp.int32).astype(jnp.uint32)
+    flat = (jnp.arange(4, dtype=jnp.uint32)[:, None] * jnp.uint32(n)
+            + src_u[None, :])
+    b1, b2 = threefry2x32_p.bind(kd[0], kd[1], jnp.zeros_like(flat), flat)
+    bits = b1 ^ b2
+    fb = (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
+    u = jax.lax.bitcast_convert_type(fb, jnp.float32) - 1.0
+    u = jnp.maximum(0.0, u)
+    return u[0], u[1], u[2], u[3]
 
 
 @functools.partial(
@@ -145,26 +184,42 @@ def compact_render_samples(scene, ro, rd, total, samples, base_key,
                            backend: str = "auto", leaf_size: int = 4,
                            schedule: Tuple[Tuple[int, int], ...] = ()):
     """``n_steps`` progressive samples in ONE dispatch with a shrinking
-    live prefix per ``schedule``.
+    live prefix per ``schedule`` ((iteration, width) pairs, width a
+    multiple of the segment count).
 
-    Returns ``(total', samples', out, rays_traced, alive_profile [2d],
-    valid [n_steps] bool)``. With ``schedule=()`` results are
-    bit-identical to :func:`engine.render_samples` (pinned by test) and
-    ``alive_profile`` holds the LAST sample's per-iteration live counts —
-    the input the host uses to learn a schedule.
+    Returns ``(total', samples', out, rays_traced, profile [2*depth],
+    valid [n_steps] bool)``. ``profile`` holds the LAST sample's
+    per-iteration max-per-segment live counts — the input
+    :func:`learn_schedule` quantizes. Samples are bit-identical to
+    :func:`engine.render_samples` whenever their live rays fit the
+    schedule (see module docstring); a sample that does not fit is
+    poisoned (zero contribution, ``valid`` cleared) for the host to
+    re-render full-width.
     """
     n = ro.shape[0]
     nw = scene.wavenumbers.shape[0]
     n_tris = scene.tri_shade.shape[0]
     assert n < (1 << 24), "float-exact src pack needs N < 2^24"
     ctx = ec.make_ctx(scene, backend, leaf_size)
-    do_reorder = (ctx.on_pallas
-                  and ctx.backend in ("cluster", "shortlist", "worklist", "hier")
-                  and n_tris >= REORDER_AUTO_MIN_TRIS)
+    seg = _segment_for(n)
+    ns = n // seg
+    n_iters = 2 * max_depth
+    morton = (ctx.on_pallas
+              and ctx.backend in ("cluster", "shortlist", "worklist",
+                                  "hier")
+              and n_tris >= REORDER_AUTO_MIN_TRIS)
     smin, inv_ext = _scene_bounds(scene)
 
+    # static per-iteration widths from the schedule
+    widths = [n] * n_iters
+    prev_h, prev_p = 0, n + 1
     for h_s, p_s in schedule:
-        assert 0 < h_s < 2 * max_depth and 0 < p_s <= n and p_s % 1024 == 0
+        assert 0 < h_s < n_iters and 0 < p_s <= n and p_s % ns == 0
+        assert h_s > prev_h and p_s < min(prev_p, n), \
+            "schedule must strictly shrink"
+        for h in range(h_s, n_iters):
+            widths[h] = p_s
+        prev_h, prev_p = h_s, p_s
 
     # sample-invariant primary intersection + attribute fetch (same hoist
     # as engine.render_samples — bit-identical, made earlier)
@@ -172,45 +227,20 @@ def compact_render_samples(scene, ro, rd, total, samples, base_key,
                          rd[:, 0], rd[:, 1], rd[:, 2])
     attrs0 = ec.fetch_attrs(ctx, hit0[2])
 
-    def bounce(h, st, key, width, hoisted=False, sorted_isect=False):
-        """One bounce iteration over [width] planes — engine.body's
-        formula sequence (see engine.py for the quirk provenance)."""
-        (rox, roy, roz, rdx, rdy, rdz, thr, rad, inside, alive, src,
-         rays_traced, profile) = st
-        profile = profile.at[h].set(jnp.sum(alive.astype(jnp.int32)))
-        rays_traced = rays_traced + jnp.sum(alive.astype(jnp.int32))
-
-        if hoisted:
-            hit, t, idx, s2, s3 = hit0
-            attrs_t = attrs0
-        elif sorted_isect:
-            key_s = _sort_key(rox, roy, roz, rdx, rdy, rdz, alive,
-                              smin, inv_ext)
-            perm, inv = _segmented_perm(key_s, width)
-            packed = jnp.stack([rox, roy, roz, rdx, rdy, rdz],
-                               axis=1)[perm]
-            hit_s, t_s, idx_s, s2_s, s3_s = ctx.intersect(
-                packed[:, 0], packed[:, 1], packed[:, 2],
-                packed[:, 3], packed[:, 4], packed[:, 5])
-            res = jnp.stack([t_s, s2_s, s3_s,
-                             idx_s.astype(jnp.float32)], axis=1)[inv]
-            t, s2, s3 = res[:, 0], res[:, 1], res[:, 2]
-            idx = res[:, 3].astype(jnp.int32)
-            hit = t < BIG
-            attrs_t = ec.fetch_attrs(ctx, idx)
-        else:
-            hit, t, idx, s2, s3 = ctx.intersect(rox, roy, roz,
-                                                rdx, rdy, rdz)
-            attrs_t = ec.fetch_attrs(ctx, idx)
+    def shade(h, key, rays6, inside_f, src_f, thr, rad,
+              isect, alive, rays_traced, profile, hoisted=False):
+        """Post-intersection half of one bounce: engine.body's formula
+        sequence (see engine.py for the quirk provenance)."""
+        rox, roy, roz, rdx, rdy, rdz = rays6
+        hit, t, idx, s2, s3 = isect
         hit = hit & alive
-
+        attrs_t = attrs0 if hoisted else ec.fetch_attrs(ctx, idx)
         (pox, poy, poz, nx, ny, nz, roughness, uvu, uvv) = \
             ec.shade_geometry(ctx, attrs_t, rox, roy, roz, rdx, rdy, rdz,
                               t, s2, s3)
 
-        k = jax.random.fold_in(key, h)
-        rr_rand, u_rand, th_rand, fr_rand = jax.random.uniform(
-            k, (4, width), jnp.float32)
+        rr_rand, u_rand, th_rand, fr_rand = _uniform4_at(
+            jax.random.fold_in(key, h), src_f, n)
 
         rr_active = jnp.asarray(h >= max_depth - 1)
         killed = hit & rr_active & (rr_rand
@@ -228,7 +258,7 @@ def compact_render_samples(scene, ro, rd, total, samples, base_key,
 
         b = sampling.sample_bounce_soa(
             ec.row(ctx, attrs_t, "mat_type").astype(jnp.int32),
-            rdx, rdy, rdz, nx, ny, nz, roughness, inside,
+            rdx, rdy, rdz, nx, ny, nz, roughness, inside_f > 0.5,
             u_rand, th_rand, fr_rand)
         back = jnp.where(b.refracted, EPS * 2.0, 0.0)
         park = jnp.float32(1e30)
@@ -238,91 +268,136 @@ def compact_render_samples(scene, ro, rd, total, samples, base_key,
         rdx = jnp.where(survive, b.dx, 0.0)
         rdy = jnp.where(survive, b.dy, 0.0)
         rdz = jnp.where(survive, b.dz, 0.0)
-        inside = jnp.where(survive, b.new_inside, inside)
-        return (rox, roy, roz, rdx, rdy, rdz, thr, rad, inside, survive,
-                src, rays_traced, profile)
+        inside_f = jnp.where(survive,
+                             b.new_inside.astype(jnp.float32), inside_f)
+        return ((rox, roy, roz, rdx, rdy, rdz), inside_f, src_f, thr, rad,
+                rays_traced, profile)
 
-    def pack_state(st, width):
-        """[width, 8+2nw] row table: rays | inside | src | thr | rad."""
-        (rox, roy, roz, rdx, rdy, rdz, thr, rad, inside, alive, src,
-         _, _) = st
-        return jnp.concatenate(
-            [jnp.stack([rox, roy, roz, rdx, rdy, rdz,
-                        inside.astype(jnp.float32),
-                        src.astype(jnp.float32)], axis=1),
-             thr.T, rad.T], axis=1)
+    def run_bounce(h, st, key, w_in, w_out, bank):
+        """One bounce at iteration ``h``: persistent live-to-front sort
+        of the [w_in] state per segment, keep the per-segment prefix
+        ``w_out // ns`` (banking dropped rows' (src, rad) on a shrink),
+        intersect + shade at [w_out].
 
-    def unpack_state(packed, rays_traced, profile):
-        rox, roy, roz, rdx, rdy, rdz = (packed[:, i] for i in range(6))
-        inside = packed[:, 6] > 0.5
-        src = packed[:, 7].astype(jnp.int32)
-        thr = packed[:, 8:8 + nw].T
-        rad = packed[:, 8 + nw:8 + 2 * nw].T
-        alive = ~((rdx == 0.0) & (rdy == 0.0) & (rdz == 0.0))
-        return (rox, roy, roz, rdx, rdy, rdz, thr, rad, inside, alive,
-                src, rays_traced, profile)
+        Returns (state', bank', poisoned_now)."""
+        (rays6, inside_f, src_f, thr, rad, rays_traced, profile) = st
+        rox, roy, roz, rdx, rdy, rdz = rays6
+        alive_in = ~((rdx == 0.0) & (rdy == 0.0) & (rdz == 0.0))
+        profile = profile.at[h].set(jnp.max(jnp.sum(
+            alive_in.reshape(ns, w_in // ns).astype(jnp.int32), axis=1)))
+        rays_traced = rays_traced + jnp.sum(alive_in.astype(jnp.int32))
+
+        q_in, q_out = w_in // ns, w_out // ns
+        keys = _sort_key(rox, roy, roz, rdx, rdy, rdz, alive_in,
+                         smin, inv_ext, morton)
+        perm_l = jnp.argsort(keys.reshape(ns, q_in), axis=1,
+                             stable=True).astype(jnp.int32)
+        offs = (jnp.arange(ns, dtype=jnp.int32) * q_in)[:, None]
+
+        planes = [rox, roy, roz, rdx, rdy, rdz, inside_f, src_f]
+        planes += [thr[c] for c in range(nw)]
+        planes += [rad[c] for c in range(nw)]
+        packed = jnp.stack(planes, axis=1)            # [w_in, 8+2nw]
+        keep = (perm_l[:, :q_out] + offs).reshape(-1)
+        ps = packed[keep]                             # ONE row gather
+        rays6 = tuple(ps[:, i] for i in range(6))
+        inside_f, src_f = ps[:, 6], ps[:, 7]
+        thr = ps[:, 8:8 + nw].T
+        rad = ps[:, 8 + nw:8 + 2 * nw].T
+        alive = ~((rays6[3] == 0.0) & (rays6[4] == 0.0)
+                  & (rays6[5] == 0.0))
+
+        poisoned = jnp.zeros((), bool)
+        if w_out < w_in:
+            # a live ray past the prefix would be dropped -> poison
+            live_s = jnp.sum(alive_in.reshape(ns, q_in).astype(jnp.int32),
+                             axis=1)
+            poisoned = jnp.any(live_s > q_out)
+            # bank dropped rows' (src, radiance): they are dead, their
+            # radiance is final. Static slice update per segment.
+            drop = (perm_l[:, q_out:] + offs).reshape(-1)
+            srcrad = jnp.stack(
+                [packed[:, 7]] + [packed[:, 8 + nw + c]
+                                  for c in range(nw)], axis=1)[drop]
+            bank_src, bank_rad = bank
+            dsrc = srcrad[:, 0].reshape(ns, q_in - q_out)
+            drad = (srcrad[:, 1:].reshape(ns, q_in - q_out, nw)
+                    .transpose(2, 0, 1))
+            bank_src = jax.lax.dynamic_update_slice(bank_src, dsrc,
+                                                    (0, q_out))
+            bank_rad = jax.lax.dynamic_update_slice(bank_rad, drad,
+                                                    (0, 0, q_out))
+            bank = (bank_src, bank_rad)
+
+        isect = ctx.intersect(*rays6)
+        st = shade(h, key, rays6, inside_f, src_f, thr, rad, isect,
+                   alive, rays_traced, profile)
+        return st, bank, poisoned
 
     def sample_body(i, carry):
         total, samples, rays_all, profile_out, valid_mask = carry
         key = jax.random.fold_in(base_key, counter0 + i)
 
-        thr0 = jnp.ones((nw, n), jnp.float32)
-        rad0 = jnp.zeros((nw, n), jnp.float32)
-        st = (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
-              thr0, rad0, jnp.zeros(n, bool), jnp.ones(n, bool),
-              jnp.arange(n, dtype=jnp.int32),
-              jnp.zeros((), jnp.int32),
-              jnp.zeros((2 * max_depth,), jnp.int32))
-        st = bounce(0, st, key, n, hoisted=True)
+        # bounce 0: hoisted primary intersection, input (slot) order
+        src0 = jnp.arange(n, dtype=jnp.int32).astype(jnp.float32)
+        profile = jnp.zeros((n_iters,), jnp.int32).at[0].set(jnp.int32(seg))
+        st = shade(0, key,
+                   (ro[:, 0], ro[:, 1], ro[:, 2],
+                    rd[:, 0], rd[:, 1], rd[:, 2]),
+                   jnp.zeros((n,), jnp.float32), src0,
+                   jnp.ones((nw, n), jnp.float32),
+                   jnp.zeros((nw, n), jnp.float32),
+                   hit0, jnp.ones((n,), bool),
+                   jnp.asarray(n, jnp.int32), profile, hoisted=True)
 
+        bank = (jnp.zeros((ns, seg), jnp.float32),
+                jnp.zeros((nw, ns, seg), jnp.float32))
         poison = jnp.zeros((), bool)
-        buf = None            # [N, C] packed rows once the first split ran
-        h_cur, p_cur = 1, n
-        spans = list(schedule) + [(2 * max_depth, None)]
-        for h_split, p_next in spans:
-            # iterations h_cur..h_split-1 at width p_cur (one compiled
-            # bounce body per span, reused across its iterations)
-            if h_split > h_cur:
-                st = jax.lax.fori_loop(
-                    h_cur, h_split,
-                    lambda h, s: bounce(h, s, key, p_cur,
-                                        sorted_isect=do_reorder),
-                    st)
-            if p_next is None:
-                break
-            # ---- split: live-to-front sort of the WHOLE state ----
-            (rox, roy, roz, rdx, rdy, rdz, thr, rad, inside, alive, src,
-             rays_traced, profile) = st
-            key_s = _sort_key(rox, roy, roz, rdx, rdy, rdz, alive,
-                              smin, inv_ext)
-            perm, _ = _segmented_perm(key_s, p_cur)
-            live = jnp.sum(alive.astype(jnp.int32))
-            poison = poison | (live > p_next)
-            packed = pack_state(st, p_cur)[perm]          # [p_cur, C]
-            if buf is None:
-                buf = packed                              # p_cur == n
+
+        # iterations 1..n_iters-1: fori spans of constant width; width
+        # transitions (shrinks) run as single unrolled bounces
+        h = 1
+        while h < n_iters:
+            w_in, w_out = widths[h - 1], widths[h]
+            if w_out < w_in:
+                st, bank, p = run_bounce(h, st, key, w_in, w_out, bank)
+                poison = poison | p
+                h += 1
+                continue
+            h_end = h + 1
+            while h_end < n_iters and widths[h_end] == w_out:
+                h_end += 1
+            if h_end == h + 1:
+                st, bank, _ = run_bounce(h, st, key, w_out, w_out, bank)
             else:
-                buf = jax.lax.dynamic_update_slice(buf, packed, (0, 0))
-            st = unpack_state(packed[:p_next], rays_traced, profile)
-            h_cur, p_cur = h_split, p_next
+                def span_body(hh, sb, w=w_out):
+                    s1, b1, _ = run_bounce(hh, sb[0], key, w, w, sb[1])
+                    return (s1, b1)
+                st, bank = jax.lax.fori_loop(h, h_end, span_body,
+                                             (st, bank))
+            h = h_end
 
         # depth-cap fall-through: survivors see the sky
-        (rox, roy, roz, rdx, rdy, rdz, thr, rad, inside, alive, src,
-         rays_traced, profile) = st
+        (rays6, inside_f, src_f, thr, rad, rays_traced, profile) = st
+        alive = ~((rays6[3] == 0.0) & (rays6[4] == 0.0)
+                  & (rays6[5] == 0.0))
         rad = rad + alive[None, :] * thr * scene.sky[:, None]
 
-        if buf is None:
-            contribution = rad.T                          # slot order
-        else:
-            tail = pack_state((rox, roy, roz, rdx, rdy, rdz, thr, rad,
-                               inside, alive, src, rays_traced, profile),
-                              p_cur)
-            buf = jax.lax.dynamic_update_slice(buf, tail, (0, 0))
-            inv = jnp.argsort(buf[:, 7].astype(jnp.int32))
-            contribution = buf[:, 8 + nw:8 + 2 * nw][inv]  # [N, nw]
+        # final assembly: write the active prefix into the bank, restore
+        # slot order with ONE segmented argsort + [n, nw] segmented gather
+        q_f = widths[n_iters - 1] // ns
+        bank_src, bank_rad = bank
+        bank_src = jax.lax.dynamic_update_slice(
+            bank_src, src_f.reshape(ns, q_f), (0, 0))
+        bank_rad = jax.lax.dynamic_update_slice(
+            bank_rad, rad.reshape(nw, ns, q_f), (0, 0, 0))
+        inv = jnp.argsort(bank_src, axis=1).astype(jnp.int32)  # [ns, seg]
+        contrib = jnp.take_along_axis(
+            bank_rad.transpose(1, 2, 0),                # [ns, seg, nw]
+            inv[:, :, None], axis=1).reshape(n, nw)
 
         ok = ~poison
-        total = total + jnp.where(ok, contribution, 0.0)
+        total = total + jnp.where(ok, contrib, 0.0)
         samples = samples + ok.astype(jnp.int32)
         valid_mask = valid_mask.at[i].set(ok)
         return (total, samples, rays_all + rays_traced, profile,
@@ -331,7 +406,7 @@ def compact_render_samples(scene, ro, rd, total, samples, base_key,
     total, samples, rays, profile, valid = jax.lax.fori_loop(
         0, n_steps, sample_body,
         (total, samples, jnp.zeros((), jnp.int32),
-         jnp.zeros((2 * max_depth,), jnp.int32),
+         jnp.zeros((n_iters,), jnp.int32),
          jnp.ones((n_steps,), bool)))
     out = total / jnp.maximum(samples.astype(jnp.float32), 1.0)
     return total, samples, out, rays, profile, valid
@@ -340,20 +415,26 @@ def compact_render_samples(scene, ro, rd, total, samples, base_key,
 def learn_schedule(profile, n: int, max_depth: int,
                    margin: float = PREFIX_MARGIN,
                    max_splits: int = MAX_SPLITS):
-    """Quantize a per-iteration alive profile into a static schedule.
+    """Quantize a per-iteration max-per-segment live profile into a
+    static ``((iteration, width), ...)`` schedule.
 
-    ``profile``: [2*max_depth] live counts (iteration h's count at entry).
-    Prefixes are multiples of 1024, chosen with a safety margin; a split
-    is only worth compiling if it shrinks the width by >= 25%.
+    ``profile``: [2*max_depth] max-per-segment live counts at iteration
+    entry (compact_render_samples' last-sample profile). Prefixes are
+    multiples of 1024 rays per segment with a safety margin; a split is
+    only worth compiling if it shrinks the width by >= 25%.
     """
     import numpy as np
+    seg = _segment_for(n)
+    ns = n // seg
+    if seg % PREFIX_RUNG or n % PREFIX_RUNG:
+        return ()                    # odd sizes: run full width
     prof = np.asarray(profile)
     schedule = []
-    p_cur = n
+    q_cur = seg
     for h in range(1, 2 * max_depth):
-        want = int(min(n, np.ceil(prof[h] * margin / 1024.0) * 1024))
-        want = max(want, 1024)
-        if want <= p_cur * 0.75 and len(schedule) < max_splits:
-            schedule.append((h, want))
-            p_cur = want
+        want = int(np.ceil(prof[h] * margin / PREFIX_RUNG) * PREFIX_RUNG)
+        want = min(max(want, PREFIX_RUNG), seg)
+        if want <= q_cur * 0.75 and len(schedule) < max_splits:
+            schedule.append((h, want * ns))
+            q_cur = want
     return tuple(schedule)

@@ -161,6 +161,19 @@ class RenderSession:
             self._perm, self._inv_perm = tile_order(w, h)
             self._ro = jnp.asarray(np.asarray(self._ro)[self._perm])
             self._rd = jnp.asarray(np.asarray(self._rd)[self._perm])
+        if self.use_compact():
+            # spread 1024-ray blocks round-robin over the compact engine's
+            # sort segments so per-segment liveness tracks the global
+            # fraction (the shrink width is ns * max_s(live_s)); composed
+            # into the tile order on the host, see engine_compact.py
+            from .engine_compact import interleave_blocks
+            il = interleave_blocks(w * h)
+            if il is not None:
+                self._perm = (self._perm[il] if self._perm is not None
+                              else il)
+                self._inv_perm = np.argsort(self._perm)
+                self._ro = jnp.asarray(np.asarray(self._ro)[il])
+                self._rd = jnp.asarray(np.asarray(self._rd)[il])
         self._jitter_cam = None
         if self.jitter:
             from .models.camera import jitter_cam_arrays

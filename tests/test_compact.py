@@ -26,6 +26,46 @@ def _trace_inputs(res=32, depth=3):
     return sc, sd, ro, rd, t0, s0
 
 
+def test_uniform4_at_pins_jax_random_uniform():
+    """_uniform4_at(key, src, n) must equal uniform(key, (4, n))[:, src]
+    bit-for-bit — the engine's whole RNG bit-identity claim rests on
+    jax's partitionable-threefry counter layout staying put."""
+    from pathtracing_spectrum_tpu.engine_compact import _uniform4_at
+    key = jax.random.fold_in(jax.random.key(7), 3)
+    n = 640
+    ref = np.asarray(jax.random.uniform(key, (4, n)))
+    src = jnp.asarray(np.random.default_rng(0).permutation(n)[:200],
+                      jnp.float32)
+    got = _uniform4_at(key, src, n)
+    for c in range(4):
+        np.testing.assert_array_equal(np.asarray(got[c]),
+                                      ref[c, np.asarray(src, np.int32)])
+
+
+def test_interleave_blocks_round_robin():
+    """interleave_blocks: valid permutation, 1024-ray blocks stay
+    contiguous, and consecutive blocks land in distinct segments."""
+    from pathtracing_spectrum_tpu.engine_compact import (interleave_blocks,
+                                                         _segment_for)
+    n = 1 << 18                      # 262144 -> 4 segments of 65536
+    seg = _segment_for(n)
+    ns = n // seg
+    assert ns == 4
+    p = interleave_blocks(n)
+    assert np.array_equal(np.sort(p), np.arange(n))
+    blocks = p.reshape(-1, 1024)
+    assert (np.diff(blocks, axis=1) == 1).all()      # blocks contiguous
+    # engine segment s receives blocks s, ns+s, 2ns+s, ... of the input:
+    # input block b sits at engine rows [rank]...; check round-robin by
+    # mapping each engine-side block to its input block id
+    ids = blocks[:, 0] // 1024
+    assert (ids.reshape(ns, -1) % ns
+            == np.arange(ns)[:, None]).all()
+    # small/odd sizes decline
+    assert interleave_blocks(65536) is None
+    assert interleave_blocks(1000) is None
+
+
 def test_empty_schedule_bit_identical_to_lockstep():
     sc, sd, ro, rd, t0, s0 = _trace_inputs(16)
     key = jax.random.key(0)
