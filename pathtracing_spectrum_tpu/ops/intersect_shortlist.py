@@ -169,9 +169,15 @@ def build_shortlists(rays, group_aabb, group_valid, block_rows: int = _RB):
 # ---------------------------------------------------------------------------
 
 
-def _sl_kernel(counts_ref, sl_ref, tnear_ref, ray_ref, tri_ref, aabb_ref,
-               best_t_ref, best_i_ref, best_s2_ref, best_s3_ref, *,
-               rows, kc, sb):
+def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb):
+    # tnear rides as a third prefetch array ONLY when the early-exit knob
+    # is on — prefetch args are copied to SMEM whether read or not (they
+    # are pallas_call operands, invisible to XLA DCE), so the unused array
+    # would tax every call.
+    if _EARLY_EXIT:
+        tnear_ref, *refs = refs
+    (ray_ref, tri_ref, aabb_ref,
+     best_t_ref, best_i_ref, best_s2_ref, best_s3_ref) = refs
     i = pl.program_id(0) // sb      # shortlist (super-)block index
     j = pl.program_id(1)
 
@@ -365,27 +371,32 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
                       <= clamp, order, jnp.take_along_axis(order, clamp, 1))
     # 1-D prefetch arrays: a 2-D [nb, G] SMEM array would be lane-padded to
     # [nb, 128] and blow the 1 MiB SMEM budget at high resolutions. tnear
-    # rides as int32 bit patterns (non-negative floats sort/compare as ints).
+    # (int32 bit patterns: non-negative floats compare as ints) is only
+    # shipped when the early-exit knob reads it — see _sl_kernel.
     order = order.reshape(-1)
-    tnear_i32 = jax.lax.bitcast_convert_type(tnear, jnp.int32).reshape(-1)
+    prefetch = [counts, order]
+    if _EARLY_EXIT:
+        prefetch.append(
+            jax.lax.bitcast_convert_type(tnear, jnp.int32).reshape(-1))
+    np_pre = len(prefetch)
 
     grid = (nb, n_groups)
     out_spec = pl.BlockSpec((_RB, _LANES),
-                            lambda i, j, counts, sl, tn: (i, 0),
+                            lambda i, j, *pre: (i, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=np_pre,
         grid=grid,
         in_specs=[
             pl.BlockSpec((6, _RB, _LANES),
-                         lambda i, j, counts, sl, tn: (0, i, 0),
+                         lambda i, j, *pre: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP_T, 16),
-                         lambda i, j, counts, sl, tn:
+                         lambda i, j, counts, sl, *pre:
                          (sl[(i // sb) * n_groups + j], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((KC, 8),
-                         lambda i, j, counts, sl, tn:
+                         lambda i, j, counts, sl, *pre:
                          (sl[(i // sb) * n_groups + j], 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -401,7 +412,7 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
             jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, order, tnear_i32, rays, tri_pack, cluster_aabbs)
+    )(*prefetch, rays, tri_pack, cluster_aabbs)
 
     best_t = best_t.reshape(n_pad)[:n]
     best_i = best_i.reshape(n_pad)[:n]
