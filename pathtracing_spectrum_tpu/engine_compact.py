@@ -18,19 +18,19 @@ than the saved width. This v2 restructures the data movement so that
 compaction costs (almost) nothing extra over what the lockstep engine
 already pays:
 
-* **The shrink rides the per-bounce sort.** The lockstep engine already
-  runs a segmented (dead-top, direction-octant, origin-morton) argsort
-  every bounce and applies it as a packed row gather around the
-  intersection — round trip: gather 6 ray planes in, inverse-gather 4
-  result planes out. Here the sort is *persistent*: ONE packed gather
-  moves the whole per-ray state (8+2nw planes) into sorted order and
-  nothing is gathered back — downstream shading simply runs in sorted
-  order. One argsort per bounce instead of two, 8+2nw gathered columns
-  instead of 6+4.
-* **Compaction = slicing the permutation.** Dead rays sort to each
-  segment's tail, so shrinking to a per-segment prefix ``Q`` means
-  gathering only ``perm[:, :Q]`` — a *smaller* gather than full width.
-  No data moves to compact; less data moves.
+* **Steady iterations are lockstep at prefix width.** A non-shrinking
+  iteration runs the lockstep engine's exact movement pattern — the
+  segmented (direction-octant, origin-morton) sort applied around the
+  intersection as ONE [w, 6] row gather in and ONE [w, 4] inverse row
+  gather out, spectral state never moving — just at the current prefix
+  width ``w`` instead of N. (v2.0 made every bounce a persistent
+  8+2nw-plane move; measured on v5e that widening cancelled the width
+  saving at 1080p — 2.17 vs 2.25 spp/s.)
+* **Shrinks are ONE persistent packed move.** At a shrink iteration the
+  sort is live-to-front (dead rays key to each segment's tail) and the
+  whole per-ray state (8+2nw planes) moves once through
+  ``perm[:, :Q]`` — a *smaller* gather than the width it leaves —
+  and downstream iterations simply run in the new order.
 * **Segments never exchange rays**, so every permutation is
   segment-local. Dropped (dead) rows' ``(src, radiance)`` are banked
   into a full-width per-segment buffer with *static* slice updates, and
@@ -77,6 +77,7 @@ import jax.numpy as jnp
 
 from .constants import EPS
 from .ops import sampling
+from .ops.intersect_pallas import BIG
 from .engine import REORDER_AUTO_MIN_TRIS, REORDER_POS_BITS, REORDER_SEGMENT
 from . import engine_common as ec
 
@@ -274,10 +275,17 @@ def compact_render_samples(scene, ro, rd, total, samples, base_key,
                 rays_traced, profile)
 
     def run_bounce(h, st, key, w_in, w_out, bank):
-        """One bounce at iteration ``h``: persistent live-to-front sort
-        of the [w_in] state per segment, keep the per-segment prefix
-        ``w_out // ns`` (banking dropped rows' (src, rad) on a shrink),
-        intersect + shade at [w_out].
+        """One bounce at iteration ``h``.
+
+        Steady (w_out == w_in): lockstep's exact movement pattern at the
+        current prefix width — sort only around the intersection, ONE
+        [w, 6] row gather in, ONE [w, 4] inverse row gather out; the
+        [nw, w] spectral state never moves (no sort at all for backends
+        without block culling). Shrink (w_out < w_in): persistent
+        live-to-front sort; the whole [w_in, 8+2nw] state moves ONCE to
+        the new (smaller) prefix, dropped rows' (src, radiance) banked
+        with static slice updates, and downstream iterations simply run
+        in the new order.
 
         Returns (state', bank', poisoned_now)."""
         (rays6, inside_f, src_f, thr, rad, rays_traced, profile) = st
@@ -286,13 +294,50 @@ def compact_render_samples(scene, ro, rd, total, samples, base_key,
         profile = profile.at[h].set(jnp.max(jnp.sum(
             alive_in.reshape(ns, w_in // ns).astype(jnp.int32), axis=1)))
         rays_traced = rays_traced + jnp.sum(alive_in.astype(jnp.int32))
-
         q_in, q_out = w_in // ns, w_out // ns
+        poisoned = jnp.zeros((), bool)
+
+        if w_out == w_in and not morton:
+            # steady, no culling backend: intersect in place, no sort
+            isect = ctx.intersect(rox, roy, roz, rdx, rdy, rdz)
+            st = shade(h, key, rays6, inside_f, src_f, thr, rad, isect,
+                       alive_in, rays_traced, profile)
+            return st, bank, poisoned
+
         keys = _sort_key(rox, roy, roz, rdx, rdy, rdz, alive_in,
                          smin, inv_ext, morton)
         perm_l = jnp.argsort(keys.reshape(ns, q_in), axis=1,
                              stable=True).astype(jnp.int32)
         offs = (jnp.arange(ns, dtype=jnp.int32) * q_in)[:, None]
+
+        if w_out == w_in:
+            # steady: sort around the intersection only (engine.py's
+            # do_sort branch at prefix width); idx rides the f32 pack as
+            # an exact float VALUE, hit is recomputed from t < BIG
+            perm = (perm_l + offs).reshape(-1)
+            inv = (jnp.argsort(perm_l, axis=1).astype(jnp.int32)
+                   + offs).reshape(-1)
+            packed = jnp.stack([rox, roy, roz, rdx, rdy, rdz],
+                               axis=1)[perm]                   # [w, 6]
+            _, t_s, idx_s, s2_s, s3_s = ctx.intersect(
+                packed[:, 0], packed[:, 1], packed[:, 2],
+                packed[:, 3], packed[:, 4], packed[:, 5])
+            res = jnp.stack([t_s, s2_s, s3_s,
+                             idx_s.astype(jnp.float32)], axis=1)
+            out = res[inv]                                     # [w, 4]
+            t, s2, s3 = out[:, 0], out[:, 1], out[:, 2]
+            idx = out[:, 3].astype(jnp.int32)
+            isect = (t < BIG, t, idx, s2, s3)
+            st = shade(h, key, rays6, inside_f, src_f, thr, rad, isect,
+                       alive_in, rays_traced, profile)
+            return st, bank, poisoned
+
+        # shrink: ONE persistent packed move of the whole state to the
+        # new prefix; a live ray past the prefix would be dropped ->
+        # poison (the host re-renders the sample full-width)
+        live_s = jnp.sum(alive_in.reshape(ns, q_in).astype(jnp.int32),
+                         axis=1)
+        poisoned = jnp.any(live_s > q_out)
 
         planes = [rox, roy, roz, rdx, rdy, rdz, inside_f, src_f]
         planes += [thr[c] for c in range(nw)]
@@ -307,27 +352,21 @@ def compact_render_samples(scene, ro, rd, total, samples, base_key,
         alive = ~((rays6[3] == 0.0) & (rays6[4] == 0.0)
                   & (rays6[5] == 0.0))
 
-        poisoned = jnp.zeros((), bool)
-        if w_out < w_in:
-            # a live ray past the prefix would be dropped -> poison
-            live_s = jnp.sum(alive_in.reshape(ns, q_in).astype(jnp.int32),
-                             axis=1)
-            poisoned = jnp.any(live_s > q_out)
-            # bank dropped rows' (src, radiance): they are dead, their
-            # radiance is final. Static slice update per segment.
-            drop = (perm_l[:, q_out:] + offs).reshape(-1)
-            srcrad = jnp.stack(
-                [packed[:, 7]] + [packed[:, 8 + nw + c]
-                                  for c in range(nw)], axis=1)[drop]
-            bank_src, bank_rad = bank
-            dsrc = srcrad[:, 0].reshape(ns, q_in - q_out)
-            drad = (srcrad[:, 1:].reshape(ns, q_in - q_out, nw)
-                    .transpose(2, 0, 1))
-            bank_src = jax.lax.dynamic_update_slice(bank_src, dsrc,
-                                                    (0, q_out))
-            bank_rad = jax.lax.dynamic_update_slice(bank_rad, drad,
-                                                    (0, 0, q_out))
-            bank = (bank_src, bank_rad)
+        # bank dropped rows' (src, radiance): they are dead, their
+        # radiance is final. Static slice update per segment.
+        drop = (perm_l[:, q_out:] + offs).reshape(-1)
+        srcrad = jnp.stack(
+            [packed[:, 7]] + [packed[:, 8 + nw + c]
+                              for c in range(nw)], axis=1)[drop]
+        bank_src, bank_rad = bank
+        dsrc = srcrad[:, 0].reshape(ns, q_in - q_out)
+        drad = (srcrad[:, 1:].reshape(ns, q_in - q_out, nw)
+                .transpose(2, 0, 1))
+        bank_src = jax.lax.dynamic_update_slice(bank_src, dsrc,
+                                                (0, q_out))
+        bank_rad = jax.lax.dynamic_update_slice(bank_rad, drad,
+                                                (0, 0, q_out))
+        bank = (bank_src, bank_rad)
 
         isect = ctx.intersect(*rays6)
         st = shade(h, key, rays6, inside_f, src_f, thr, rad, isect,
