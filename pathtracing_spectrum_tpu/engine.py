@@ -67,6 +67,14 @@ from .ops.texturing import sample_nearest_wh
 # single packed gather above (the one-hot would blow HBM for big scenes).
 ONEHOT_FETCH_MAX_BYTES = 256 * 1024 * 1024
 
+# fetch_rows_pallas' grid is (ray_blocks, table_groups): every ray block
+# streams the WHOLE table through VMEM, so its cost grows with the
+# triangle count while a plain row gather's grows only with the ray
+# count. Measured crossover on v5e (246k tris, 262k rays, round 3):
+# pallas fetch 69.5 ms/call vs row gather 4.6 ms — use the MXU kernel
+# only while the table fits this many 1024-row groups (~16k triangles).
+FETCH_PALLAS_MAX_GROUPS = 16
+
 # "auto" backend: dense sweep below this triangle count.
 DENSE_AUTO_MAX_TRIS = 512
 
@@ -159,9 +167,13 @@ def _fetch_attrs_t(idx, shade_sub, shade_sub_t, on_pallas: bool):
     """[F', N] attribute planes for each ray's hit triangle."""
     n = idx.shape[0]
     n_tris = shade_sub.shape[0]
-    if on_pallas:
+    if on_pallas and n_tris <= FETCH_PALLAS_MAX_GROUPS * 1024:
         from .ops.fetch_pallas import fetch_rows_pallas
         return fetch_rows_pallas(idx, shade_sub)
+    if on_pallas:
+        # large table: the XLA row gather scales with rays, not triangles
+        # (v5e: 4.6 vs 69.5 ms at 246k tris / 262k rays); barrier as below
+        return jax.lax.optimization_barrier(shade_sub[idx].T)
     if n_tris * n * 4 <= ONEHOT_FETCH_MAX_BYTES:
         onehot_t = (jnp.arange(n_tris, dtype=jnp.int32)[:, None]
                     == idx[None, :]).astype(jnp.float32)   # [T, N]

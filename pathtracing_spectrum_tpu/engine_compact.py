@@ -85,6 +85,8 @@ from . import engine_common as ec
 PREFIX_RUNG = 1024
 PREFIX_MARGIN = 1.15
 MAX_SPLITS = 3
+# a split must shrink the width by at least this factor to be compiled
+SPLIT_RATIO = 0.75
 
 
 def _segment_for(n: int) -> int:
@@ -453,14 +455,16 @@ def compact_render_samples(scene, ro, rd, total, samples, base_key,
 
 def learn_schedule(profile, n: int, max_depth: int,
                    margin: float = PREFIX_MARGIN,
-                   max_splits: int = MAX_SPLITS):
+                   max_splits: int = MAX_SPLITS,
+                   split_ratio: float = SPLIT_RATIO):
     """Quantize a per-iteration max-per-segment live profile into a
     static ``((iteration, width), ...)`` schedule.
 
     ``profile``: [2*max_depth] max-per-segment live counts at iteration
     entry (compact_render_samples' last-sample profile). Prefixes are
     multiples of 1024 rays per segment with a safety margin; a split is
-    only worth compiling if it shrinks the width by >= 25%.
+    only worth compiling (an unrolled bounce + one persistent packed
+    move) if it shrinks the width by at least ``1 - split_ratio``.
     """
     import numpy as np
     seg = _segment_for(n)
@@ -473,7 +477,7 @@ def learn_schedule(profile, n: int, max_depth: int,
     for h in range(1, 2 * max_depth):
         want = int(np.ceil(prof[h] * margin / PREFIX_RUNG) * PREFIX_RUNG)
         want = min(max(want, PREFIX_RUNG), seg)
-        if want <= q_cur * 0.75 and len(schedule) < max_splits:
+        if want <= q_cur * split_ratio and len(schedule) < max_splits:
             schedule.append((h, want * ns))
             q_cur = want
     return tuple(schedule)
