@@ -66,6 +66,41 @@ _ROW_CULL = False
 # Stage 1: per-block group shortlists via interval arithmetic (plain XLA).
 # ---------------------------------------------------------------------------
 
+def ray_exit_caps(rox, roy, roz, rdx, rdy, rdz, lo, hi,
+                  margin: float = 1e-4):
+    """Per-ray sweep cap: the slab EXIT t of the scene's root AABB.
+
+    Every triangle lies inside the root box, so any true hit satisfies
+    ``t_hit <= t_exit(root)`` — a ray that leaves the box quickly (sky
+    rays: the majority of live lanes at later bounces) can bound its
+    cluster culling by that exit instead of the running best-t, which
+    for miss rays never tightens at all. Measured on the v5e this is
+    the difference between sweeping ~half the scene for every sky ray
+    and sweeping almost nothing. ``margin`` absorbs the few-ulp
+    difference between slab and triangle-plane arithmetic so hit
+    selection stays exact (equivalence pinned by the dense-vs-shortlist
+    tests). Rays that miss the box (or are parked) get cap ~0."""
+    def axis(o, d, l, h_):
+        inv = 1.0 / jnp.where(d == 0.0, 1.0, d)
+        t0 = (l - o) * inv
+        t1 = (h_ - o) * inv
+        near = jnp.minimum(t0, t1)
+        far = jnp.maximum(t0, t1)
+        inside = (o >= l) & (o <= h_)
+        zero = d == 0.0
+        near = jnp.where(zero, jnp.where(inside, -BIG, BIG), near)
+        far = jnp.where(zero, jnp.where(inside, BIG, -BIG), far)
+        return near, far
+    nx, fx = axis(rox, rdx, lo[0], hi[0])
+    ny, fy = axis(roy, rdy, lo[1], hi[1])
+    nz, fz = axis(roz, rdz, lo[2], hi[2])
+    t_near = jnp.maximum(jnp.maximum(nx, ny), nz)
+    t_far = jnp.minimum(jnp.minimum(fx, fy), fz)
+    hit_box = (t_near <= t_far) & (t_far >= 0.0)
+    cap = jnp.where(hit_box, t_far, 0.0)
+    return cap * (1.0 + margin) + margin
+
+
 def _interval_quotient(nlo, nhi, dlo, dhi):
     """Interval [nlo,nhi] / [dlo,dhi] for sign-constant denominators."""
     a, b = nlo / dlo, nlo / dhi
@@ -103,8 +138,12 @@ def build_shortlists(rays, group_aabb, group_valid, block_rows: int = _RB):
     """Front-to-back group shortlists per ray block.
 
     Args:
-      rays: [6, rows_total, 128] ray component planes (ro xyz, rd xyz);
-        parked rays have rd == 0 and are excluded from the bounds.
+      rays: [6 or 7, rows_total, 128] ray component planes (ro xyz,
+        rd xyz[, sweep cap]); parked rays have rd == 0 and are excluded
+        from the bounds. With a 7th plane (:func:`ray_exit_caps`),
+        groups whose entry lower bound exceeds the block's largest cap
+        are dropped — sky-dominated blocks shortlist to (almost)
+        nothing.
       group_aabb: [G, 6] (min3, max3).
       group_valid: [G] bool.
       block_rows: rows of 128 rays per shortlist block (a multiple of the
@@ -119,15 +158,18 @@ def build_shortlists(rays, group_aabb, group_valid, block_rows: int = _RB):
     there — kept for the larger-G regime where instance count grows).
     Per-element arithmetic is unchanged, so results are bit-identical.
     """
+    nplanes = rays.shape[0]
     rows_total = rays.shape[1]
     nb = rows_total // block_rows
-    r = rays.reshape(6, nb, block_rows * _LANES)
+    r = rays.reshape(nplanes, nb, block_rows * _LANES)
     parked = (r[3] == 0.0) & (r[4] == 0.0) & (r[5] == 0.0)   # [NB, B]
 
     pk = parked[None]
-    lo = jnp.min(jnp.where(pk, jnp.inf, r), axis=2)           # [6, NB]
-    hi = jnp.max(jnp.where(pk, -jnp.inf, r), axis=2)
+    lo = jnp.min(jnp.where(pk, jnp.inf, r[:6]), axis=2)       # [6, NB]
+    hi = jnp.max(jnp.where(pk, -jnp.inf, r[:6]), axis=2)
     block_valid = ~jnp.all(parked, axis=1)                    # [NB]
+    cap_max = (jnp.max(jnp.where(parked, 0.0, r[6]), axis=1)
+               if nplanes > 6 else None)                      # [NB]
 
     olo, ohi = lo[0:3][:, :, None], hi[0:3][:, :, None]       # [3, NB, 1]
     dlo, dhi = lo[3:6][:, :, None], hi[3:6][:, :, None]
@@ -147,6 +189,8 @@ def build_shortlists(rays, group_aabb, group_valid, block_rows: int = _RB):
 
     hit = ((enter_lb < exit_ub) & (exit_ub >= 0.0)
            & block_valid[:, None] & group_valid[None, :])
+    if cap_max is not None:
+        hit = hit & (enter_lb <= cap_max[:, None])
     tnear = jnp.where(hit, jnp.maximum(enter_lb, 0.0), BIG)
     order = jnp.argsort(tnear, axis=1).astype(jnp.int32)
     counts = jnp.sum(hit, axis=1).astype(jnp.int32)
@@ -221,11 +265,14 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb):
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, _LANES), 0)
 
         for c in range(kc):
+            # sweep bound: running best-t AND the ray's root-box exit
+            # cap (plane 6) — miss rays never tighten best_t, the cap
+            # does; re-read per cluster so this step's hits keep culling
             slab = _slab_block(
                 rox_b, roy_b, roz_b, inv_xb, inv_yb, inv_zb,
                 aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2],
                 aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5],
-                best_t_ref[:])
+                jnp.minimum(best_t_ref[:], ray_ref[6]))
             # per-ROW cluster culling (8x finer than whole-block): after
             # reordering, rows are coherent 128-ray subgroups, so rows that
             # provably miss this cluster skip its 128-triangle sweep.
@@ -338,14 +385,21 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
 
     block = sb * _RB * _LANES
     pad_n = (-n) % block
-    comps = (rox, roy, roz, rdx, rdy, rdz)
+    # root-box slab-exit sweep cap as a 7th ray plane (ray_exit_caps)
+    cvalid = (cluster_aabbs[:, 0] <= cluster_aabbs[:, 3])[:, None]
+    root_lo = jnp.min(jnp.where(cvalid, cluster_aabbs[:, 0:3], jnp.inf),
+                      axis=0)
+    root_hi = jnp.max(jnp.where(cvalid, cluster_aabbs[:, 3:6], -jnp.inf),
+                      axis=0)
+    cap = ray_exit_caps(rox, roy, roz, rdx, rdy, rdz, root_lo, root_hi)
+    comps = (rox, roy, roz, rdx, rdy, rdz, cap)
     if pad_n:
         zeros = jnp.zeros((pad_n,), rox.dtype)
         comps = tuple(jnp.concatenate([c, zeros]) for c in comps)
     n_pad = n + pad_n
     rows_total = n_pad // _LANES
     nb = rows_total // _RB          # KERNEL blocks (grid dim 0)
-    rays = jnp.stack(comps).reshape(6, rows_total, _LANES)
+    rays = jnp.stack(comps).reshape(7, rows_total, _LANES)
 
     pad_t = (-t_count) % GROUP_T
     if pad_t:
@@ -388,7 +442,7 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
         num_scalar_prefetch=np_pre,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((6, _RB, _LANES),
+            pl.BlockSpec((7, _RB, _LANES),
                          lambda i, j, *pre: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP_T, 16),

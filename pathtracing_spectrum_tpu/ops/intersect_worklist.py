@@ -95,11 +95,13 @@ def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, _LANES), 0)
 
         for c in range(kc):
+            # bound by running best-t AND the ray's root-box exit cap
+            # (plane 6): miss rays never tighten best_t, the cap does
             slab = _slab_block(
                 rox_b, roy_b, roz_b, inv_xb, inv_yb, inv_zb,
                 aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2],
                 aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5],
-                best_t_ref[:])
+                jnp.minimum(best_t_ref[:], ray_ref[6]))
 
             @pl.when(jnp.any(slab))
             def _(c=c):
@@ -194,14 +196,22 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
 
     block = _RB * _LANES
     pad_n = (-n) % block
-    comps = (rox, roy, roz, rdx, rdy, rdz)
+    # root-box slab-exit sweep cap as a 7th ray plane (ray_exit_caps)
+    from .intersect_shortlist import ray_exit_caps
+    cvalid = (cluster_aabbs[:, 0] <= cluster_aabbs[:, 3])[:, None]
+    root_lo = jnp.min(jnp.where(cvalid, cluster_aabbs[:, 0:3], jnp.inf),
+                      axis=0)
+    root_hi = jnp.max(jnp.where(cvalid, cluster_aabbs[:, 3:6], -jnp.inf),
+                      axis=0)
+    cap = ray_exit_caps(rox, roy, roz, rdx, rdy, rdz, root_lo, root_hi)
+    comps = (rox, roy, roz, rdx, rdy, rdz, cap)
     if pad_n:
         zeros = jnp.zeros((pad_n,), rox.dtype)
         comps = tuple(jnp.concatenate([c, zeros]) for c in comps)
     n_pad = n + pad_n
     rows_total = n_pad // _LANES
     nb = rows_total // _RB
-    rays = jnp.stack(comps).reshape(6, rows_total, _LANES)
+    rays = jnp.stack(comps).reshape(7, rows_total, _LANES)
 
     group_t = kc * CLUSTER
     pad_t = (-t_count) % group_t
@@ -246,7 +256,7 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
             num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((6, _RB, _LANES),
+                pl.BlockSpec((7, _RB, _LANES),
                              lambda w, wb, wg, wa: (0, wb[w], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((group_t, 16),
