@@ -244,8 +244,12 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb):
                   & (ray_ref[5] == 0.0))
         # compare in int32 bit-pattern space: tnear/best_t are non-negative
         # floats (bit order == float order); parked rays mask to -1 so an
-        # all-parked block compares below every tnear and shortlists to zero
-        best_bits = jax.lax.bitcast_convert_type(best_t_ref[:], jnp.int32)
+        # all-parked block compares below every tnear and shortlists to
+        # zero. Each lane's bound is min(best_t, root-box exit cap): miss
+        # rays never tighten best_t and would otherwise hold the whole
+        # block's exit hostage at BIG — their cap releases it.
+        bound = jnp.minimum(best_t_ref[:], ray_ref[6])
+        best_bits = jax.lax.bitcast_convert_type(bound, jnp.int32)
         worst = jnp.max(jnp.where(parked, jnp.int32(-1), best_bits))
         tnear_j = tnear_ref[i * pl.num_programs(1) + j]
         active = active & (tnear_j <= worst)

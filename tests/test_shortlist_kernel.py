@@ -149,6 +149,36 @@ def test_reorder_is_bit_identical():
     assert int(a.rays_traced) == int(b.rays_traced)
 
 
+@pytest.mark.parametrize("knob", ["_EARLY_EXIT", "_ROW_CULL"])
+def test_knob_variants_match_bruteforce(knob):
+    """The off-by-default culling knobs must stay selection-identical —
+    incl. the early-exit's min(best_t, root-box cap) bound, which lets
+    sky/miss rays release the block's exit."""
+    geo, tri16, caabb = _soup(700, seed=8)
+    v1, e1, e2, fn, k1, k2, k3, consts = geo
+    ro, rd = _rays(1024, seed=9)
+    h0, t0, i0, _, _ = intersect_bruteforce(
+        jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(fn), jnp.asarray(k1),
+        jnp.asarray(k2), jnp.asarray(k3), jnp.asarray(consts))
+    old = getattr(isl, knob)
+    try:
+        setattr(isl, knob, True)
+        jax.clear_caches()
+        h1, t1, i1, _, _ = isl.intersect_shortlist_pallas_soa(
+            *(jnp.asarray(ro[:, k]) for k in range(3)),
+            *(jnp.asarray(rd[:, k]) for k in range(3)),
+            tri16, caabb, interpret=True)
+    finally:
+        setattr(isl, knob, old)
+        jax.clear_caches()
+    h0, h1 = np.asarray(h0), np.asarray(h1)
+    np.testing.assert_array_equal(h0, h1)
+    m = h0
+    np.testing.assert_allclose(np.asarray(t0)[m], np.asarray(t1)[m],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i0)[m], np.asarray(i1)[m])
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("sb", [2, 4])
 def test_superblock_shortlists_match_bruteforce(sb):
