@@ -60,6 +60,20 @@ _EARLY_EXIT = False
 # vector pipeline for longer than the skipped sweeps take. Kept as an off-
 # by-default knob; re-evaluate on hardware with cheaper scalar branches.
 _ROW_CULL = False
+# MXU sweep: compute the 8 ray.K dot products of the triangle predicate
+# as [CLUSTER, 3] x [3, LANES] matmuls on the MXU instead of ~40 VPU
+# broadcast ops (the VPU sweep is the measured wall on bounce rays:
+# 113 ms/call at 246k tris — docs/tpu_cost_model.md). Measured verdict
+# (v5e, round 3): at Mosaic's DEFAULT matmul precision this is 1.53x
+# faster (73.5 vs 112.5 ms) but bf16 products corrupt the geometry
+# (0.2% median t error, wrong hits near edges); Precision.HIGHEST is
+# value-faithful (checksum-identical) but 5.6x SLOWER (629 ms — the
+# f32 multi-pass decomposition drowns tiny K=3 matmuls in per-pass
+# overhead) and Precision.HIGH (bf16x3) is not implemented by Mosaic.
+# Kept OFF (at HIGHEST, so enabling is correct); the untried variant —
+# one [512, 3] x [3, 1024] matmul per cluster with a manual bf16x3
+# split — is written up in docs/tpu_cost_model.md as the round-4 lead.
+_MXU_SWEEP = False
 
 
 # ---------------------------------------------------------------------------
@@ -287,18 +301,24 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb):
             @pl.when(jnp.any(slab))
             def _(c=c, row_any=row_any):
                 base = c * CLUSTER
-                nx = tri_ref[base:base + CLUSTER, 0:1]
-                ny = tri_ref[base:base + CLUSTER, 1:2]
-                nz = tri_ref[base:base + CLUSTER, 2:3]
-                k1x = tri_ref[base:base + CLUSTER, 3:4]
-                k1y = tri_ref[base:base + CLUSTER, 4:5]
-                k1z = tri_ref[base:base + CLUSTER, 5:6]
-                k2x = tri_ref[base:base + CLUSTER, 6:7]
-                k2y = tri_ref[base:base + CLUSTER, 7:8]
-                k2z = tri_ref[base:base + CLUSTER, 8:9]
-                k3x = tri_ref[base:base + CLUSTER, 9:10]
-                k3y = tri_ref[base:base + CLUSTER, 10:11]
-                k3z = tri_ref[base:base + CLUSTER, 11:12]
+                if _MXU_SWEEP:
+                    ncl = tri_ref[base:base + CLUSTER, 0:3]
+                    k1c = tri_ref[base:base + CLUSTER, 3:6]
+                    k2c = tri_ref[base:base + CLUSTER, 6:9]
+                    k3c = tri_ref[base:base + CLUSTER, 9:12]
+                else:
+                    nx = tri_ref[base:base + CLUSTER, 0:1]
+                    ny = tri_ref[base:base + CLUSTER, 1:2]
+                    nz = tri_ref[base:base + CLUSTER, 2:3]
+                    k1x = tri_ref[base:base + CLUSTER, 3:4]
+                    k1y = tri_ref[base:base + CLUSTER, 4:5]
+                    k1z = tri_ref[base:base + CLUSTER, 5:6]
+                    k2x = tri_ref[base:base + CLUSTER, 6:7]
+                    k2y = tri_ref[base:base + CLUSTER, 7:8]
+                    k2z = tri_ref[base:base + CLUSTER, 8:9]
+                    k3x = tri_ref[base:base + CLUSTER, 9:10]
+                    k3y = tri_ref[base:base + CLUSTER, 10:11]
+                    k3z = tri_ref[base:base + CLUSTER, 11:12]
                 c0 = tri_ref[base:base + CLUSTER, 12:13]
                 c1 = tri_ref[base:base + CLUSTER, 13:14]
                 c2 = tri_ref[base:base + CLUSTER, 14:15]
@@ -314,16 +334,41 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb):
                         rdy = ray_ref[4, r:r + 1, :]
                         rdz = ray_ref[5, r:r + 1, :]
 
-                        denom = rdx * nx + rdy * ny + rdz * nz
-                        ro_n = rox * nx + roy * ny + roz * nz
-                        safe = jnp.where(denom == 0.0, 1.0, denom)
-                        t = (c0 - ro_n) / safe
-                        px = rox + t * rdx
-                        py = roy + t * rdy
-                        pz = roz + t * rdz
-                        s1 = px * k1x + py * k1y + pz * k1z - c1
-                        s2 = px * k2x + py * k2y + pz * k2z - c2
-                        s3 = px * k3x + py * k3y + pz * k3z - c3
+                        if _MXU_SWEEP:
+                            # ray.K dot products on the MXU: s_i = p.k_i
+                            # - c_i = ro.k_i + t*(rd.k_i) - c_i — same
+                            # algebra as the VPU path, MXU sum order
+                            ro3 = jnp.concatenate([rox, roy, roz], axis=0)
+                            rd3 = jnp.concatenate([rdx, rdy, rdz], axis=0)
+
+                            def mm(a, b):
+                                # HIGHEST: true-f32 multi-pass — the
+                                # default (bf16 single-pass) loses ~3
+                                # decimal digits and breaks hits near
+                                # triangle edges (measured 26% max err)
+                                return jax.lax.dot_general(
+                                    a, b, (((1,), (0,)), ((), ())),
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32)
+
+                            denom = mm(ncl, rd3)
+                            ro_n = mm(ncl, ro3)
+                            safe = jnp.where(denom == 0.0, 1.0, denom)
+                            t = (c0 - ro_n) / safe
+                            s1 = mm(k1c, ro3) + t * mm(k1c, rd3) - c1
+                            s2 = mm(k2c, ro3) + t * mm(k2c, rd3) - c2
+                            s3 = mm(k3c, ro3) + t * mm(k3c, rd3) - c3
+                        else:
+                            denom = rdx * nx + rdy * ny + rdz * nz
+                            ro_n = rox * nx + roy * ny + roz * nz
+                            safe = jnp.where(denom == 0.0, 1.0, denom)
+                            t = (c0 - ro_n) / safe
+                            px = rox + t * rdx
+                            py = roy + t * rdy
+                            pz = roz + t * rdz
+                            s1 = px * k1x + py * k1y + pz * k1z - c1
+                            s2 = px * k2x + py * k2y + pz * k2z - c2
+                            s3 = px * k3x + py * k3y + pz * k3z - c3
                         valid = ((denom != 0.0) & (t >= 0.0)
                                  & (s1 >= 0.0) & (s2 >= 0.0) & (s3 >= 0.0))
                         tt = jnp.where(valid, t, BIG)

@@ -149,11 +149,13 @@ def test_reorder_is_bit_identical():
     assert int(a.rays_traced) == int(b.rays_traced)
 
 
-@pytest.mark.parametrize("knob", ["_EARLY_EXIT", "_ROW_CULL"])
+@pytest.mark.parametrize("knob", ["_EARLY_EXIT", "_ROW_CULL", "_MXU_SWEEP"])
 def test_knob_variants_match_bruteforce(knob):
     """The off-by-default culling knobs must stay selection-identical —
     incl. the early-exit's min(best_t, root-box cap) bound, which lets
-    sky/miss rays release the block's exit."""
+    sky/miss rays release the block's exit. (_MXU_SWEEP at HIGHEST
+    precision matches exactly in interpret mode; on hardware it is
+    value-faithful to float tolerance.)"""
     geo, tri16, caabb = _soup(700, seed=8)
     v1, e1, e2, fn, k1, k2, k3, consts = geo
     ro, rd = _rays(1024, seed=9)
