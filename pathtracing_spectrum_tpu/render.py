@@ -45,12 +45,17 @@ from .scene import Scene, SceneData
 MAX_TARGET_SPP = 65535  # reference GUI clamp (main.cpp:1662-1669)
 
 # compact="auto" switches the shrinking-prefix engine on at this many rays.
-# Measured verdict (v5e, round 3): the split's whole-state row moves cost
-# far more than the saved lane width at every size tried (textured 1080p:
-# 0.19 vs 2.25 spp/s) — the r2 cost-model numbers that motivated the
-# design were measurement artifacts (docs/tpu_cost_model.md). The engine
-# stays correct and opt-in (compact=True); "auto" therefore never enables
-# it on this hardware.
+# Measured verdict (v5e, round 3, across three engine generations — see
+# engine_compact.py): even with v2.1's minimal data movement (steady
+# iterations = lockstep's pattern at prefix width, counter-exact RNG,
+# bit-identical output) the engine ties or slightly trails lockstep at
+# every size tried (1080p: 2.43 vs 2.48 spp/s; terrain 246k: 2.0 vs
+# 2.17). Root cause: the lockstep engine's dead-to-front segmented sort
+# already hands the kernels compacted work — parked blocks shortlist to
+# zero groups — so shrinking the dispatch width only removes cheap tail
+# width while paying the unscramble/banking overhead (~70 ms/sample at
+# 246k). The engine stays correct and opt-in (compact=True); "auto"
+# therefore never enables it on this hardware.
 COMPACT_AUTO_MIN_RAYS = 1 << 62
 
 # Bumped whenever the per-sample RNG key derivation changes; checkpoints
