@@ -60,20 +60,29 @@ _EARLY_EXIT = False
 # vector pipeline for longer than the skipped sweeps take. Kept as an off-
 # by-default knob; re-evaluate on hardware with cheaper scalar branches.
 _ROW_CULL = False
-# MXU sweep: compute the 8 ray.K dot products of the triangle predicate
-# as [CLUSTER, 3] x [3, LANES] matmuls on the MXU instead of ~40 VPU
-# broadcast ops (the VPU sweep is the measured wall on bounce rays:
-# 113 ms/call at 246k tris — docs/tpu_cost_model.md). Measured verdict
-# (v5e, round 3): at Mosaic's DEFAULT matmul precision this is 1.53x
-# faster (73.5 vs 112.5 ms) but bf16 products corrupt the geometry
-# (0.2% median t error, wrong hits near edges); Precision.HIGHEST is
-# value-faithful (checksum-identical) but 5.6x SLOWER (629 ms — the
-# f32 multi-pass decomposition drowns tiny K=3 matmuls in per-pass
-# overhead) and Precision.HIGH (bf16x3) is not implemented by Mosaic.
-# Kept OFF (at HIGHEST, so enabling is correct); the untried variant —
-# one [512, 3] x [3, 1024] matmul per cluster with a manual bf16x3
-# split — is written up in docs/tpu_cost_model.md as the round-4 lead.
-_MXU_SWEEP = False
+# MXU sweep: compute ALL 8 ray.K dot-product families of the triangle
+# predicate as ONE [CLUSTER, 16] x [16, 8*LANES] matmul per (row,
+# cluster) — the VPU sweep (~40 broadcast ops) is the measured wall on
+# bounce rays: 113 ms/call at 246k tris (docs/tpu_cost_model.md). The
+# lhs is the UNMODIFIED tri16 block (triangle K-vectors + constants in
+# its 16 columns); the rhs packs 8 column groups of 128 rays each —
+# (n.ro-c0 | n.rd | k1.ro-c1 | k1.rd | k2.ro-c2 | k2.rd | k3.ro-c3 |
+# k3.rd) — built ONCE per ray block into VMEM scratch at grid step
+# j == 0, with the c-columns folded in via -1 coefficient rows. Output
+# slices are lane-aligned at 128, so the per-row reduction code is
+# shared with the VPU path unchanged. Schemes (manual bf16 operand
+# splits, summed smallest-first in f32; round-3's 8-tiny-matmul
+# variants measured DEFAULT 73.5 ms / broken geometry, HIGHEST 629 ms):
+#   "bf16"   — 1 pass: speed ceiling; ~2^-9 relative error (unusable
+#              for geometry, kept for measurement).
+#   "bf16x3" — 3 passes from 2-way splits: ~2^-18 relative error.
+#   "f32x6"  — 6 passes from 3-way splits: <=f32-ulp-level deviation
+#              (same decomposition XLA uses for Precision.HIGHEST).
+# NO scheme is bit-identical to the VPU path (sequential-rounding
+# order differs; the earlier "checksum-identical" HIGHEST claim was a
+# 3-significant-digit checksum), so the knob stays OFF by default and
+# the default path keeps dense-sweep bit-equivalence.
+_MXU_SWEEP = None
 
 
 # ---------------------------------------------------------------------------
@@ -234,6 +243,8 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb):
     # would tax every call.
     if _EARLY_EXIT:
         tnear_ref, *refs = refs
+    if _MXU_SWEEP:
+        *refs, rhs_hi_ref, rhs_mid_ref, rhs_lo_ref = refs
     (ray_ref, tri_ref, aabb_ref,
      best_t_ref, best_i_ref, best_s2_ref, best_s3_ref) = refs
     i = pl.program_id(0) // sb      # shortlist (super-)block index
@@ -245,6 +256,39 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb):
         best_i_ref[:] = jnp.zeros_like(best_i_ref)
         best_s2_ref[:] = jnp.zeros_like(best_s2_ref)
         best_s3_ref[:] = jnp.zeros_like(best_s3_ref)
+        if _MXU_SWEEP:
+            # Build the per-row [16, 8*LANES] matmul rhs once per ray
+            # block (reused across every shortlisted group): rhs row k
+            # carries the coefficient that multiplies tri16 column k,
+            # so out = tri16_cluster @ rhs yields the 8 lane-aligned
+            # column groups (n.ro-c0 | n.rd | k1.ro-c1 | k1.rd | ...).
+            # Stored pre-split into bf16 hi/mid/lo chunks (hi = the
+            # 1-pass operand, hi+mid = 2-way split, all three = the
+            # exact 3-way split of f32).
+            z = jnp.zeros((1, _LANES), jnp.float32)
+            m1 = -jnp.ones((1, _LANES), jnp.float32)
+            for r in range(rows):
+                ro3 = [ray_ref[k, r:r + 1, :] for k in range(3)]
+                rd3 = [ray_ref[k + 3, r:r + 1, :] for k in range(3)]
+                rows16 = []
+                for sec in range(4):            # n, k1, k2, k3
+                    for comp in range(3):
+                        pieces = [z] * 8
+                        pieces[2 * sec] = ro3[comp]
+                        pieces[2 * sec + 1] = rd3[comp]
+                        rows16.append(jnp.concatenate(pieces, axis=1))
+                for sec in range(4):            # c0..c3 coefficients
+                    pieces = [z] * 8
+                    pieces[2 * sec] = m1
+                    rows16.append(jnp.concatenate(pieces, axis=1))
+                rhs = jnp.concatenate(rows16, axis=0)
+                hi = rhs.astype(jnp.bfloat16)
+                r1 = rhs - hi.astype(jnp.float32)
+                mid = r1.astype(jnp.bfloat16)
+                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                rhs_hi_ref[r * 16:(r + 1) * 16, :] = hi
+                rhs_mid_ref[r * 16:(r + 1) * 16, :] = mid
+                rhs_lo_ref[r * 16:(r + 1) * 16, :] = lo
 
     # Front-to-back early exit: the shortlist is sorted by the group's
     # entry-t lower bound, so once that bound strictly exceeds the worst
@@ -302,10 +346,15 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb):
             def _(c=c, row_any=row_any):
                 base = c * CLUSTER
                 if _MXU_SWEEP:
-                    ncl = tri_ref[base:base + CLUSTER, 0:3]
-                    k1c = tri_ref[base:base + CLUSTER, 3:6]
-                    k2c = tri_ref[base:base + CLUSTER, 6:9]
-                    k3c = tri_ref[base:base + CLUSTER, 9:12]
+                    # matmul lhs IS the tri16 block: [CLUSTER, 16] with
+                    # K-vectors in cols 0:12 and c0..c3 in cols 12:16.
+                    # bf16 chunk split hoisted out of the row loop.
+                    trif = tri_ref[base:base + CLUSTER, :]
+                    l_hi = trif.astype(jnp.bfloat16)
+                    t1 = trif - l_hi.astype(jnp.float32)
+                    l_mid = t1.astype(jnp.bfloat16)
+                    l_lo = (t1 - l_mid.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
                 else:
                     nx = tri_ref[base:base + CLUSTER, 0:1]
                     ny = tri_ref[base:base + CLUSTER, 1:2]
@@ -319,46 +368,56 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb):
                     k3x = tri_ref[base:base + CLUSTER, 9:10]
                     k3y = tri_ref[base:base + CLUSTER, 10:11]
                     k3z = tri_ref[base:base + CLUSTER, 11:12]
-                c0 = tri_ref[base:base + CLUSTER, 12:13]
-                c1 = tri_ref[base:base + CLUSTER, 13:14]
-                c2 = tri_ref[base:base + CLUSTER, 14:15]
-                c3 = tri_ref[base:base + CLUSTER, 15:16]
+                    c0 = tri_ref[base:base + CLUSTER, 12:13]
+                    c1 = tri_ref[base:base + CLUSTER, 13:14]
+                    c2 = tri_ref[base:base + CLUSTER, 14:15]
+                    c3 = tri_ref[base:base + CLUSTER, 15:16]
                 tri_base = gidx * GROUP_T + base
 
                 for r in range(rows):
                     def _row_body(r=r):
-                        rox = ray_ref[0, r:r + 1, :]
-                        roy = ray_ref[1, r:r + 1, :]
-                        roz = ray_ref[2, r:r + 1, :]
-                        rdx = ray_ref[3, r:r + 1, :]
-                        rdy = ray_ref[4, r:r + 1, :]
-                        rdz = ray_ref[5, r:r + 1, :]
-
                         if _MXU_SWEEP:
-                            # ray.K dot products on the MXU: s_i = p.k_i
-                            # - c_i = ro.k_i + t*(rd.k_i) - c_i — same
-                            # algebra as the VPU path, MXU sum order
-                            ro3 = jnp.concatenate([rox, roy, roz], axis=0)
-                            rd3 = jnp.concatenate([rdx, rdy, rdz], axis=0)
+                            # ONE matmul: [CLUSTER, 16] @ [16, 8*LANES]
+                            # -> 8 lane-aligned column groups. Manual
+                            # bf16-split passes (native bf16xbf16->f32
+                            # MXU, DEFAULT precision), summed smallest-
+                            # magnitude first.
+                            L = _LANES
+                            sl16 = slice(r * 16, (r + 1) * 16)
 
                             def mm(a, b):
-                                # HIGHEST: true-f32 multi-pass — the
-                                # default (bf16 single-pass) loses ~3
-                                # decimal digits and breaks hits near
-                                # triangle edges (measured 26% max err)
                                 return jax.lax.dot_general(
                                     a, b, (((1,), (0,)), ((), ())),
-                                    precision=jax.lax.Precision.HIGHEST,
                                     preferred_element_type=jnp.float32)
 
-                            denom = mm(ncl, rd3)
-                            ro_n = mm(ncl, ro3)
+                            rhi = rhs_hi_ref[sl16, :]
+                            if _MXU_SWEEP == "bf16":
+                                out = mm(l_hi, rhi)
+                            elif _MXU_SWEEP == "bf16x3":
+                                rmid = rhs_mid_ref[sl16, :]
+                                out = (mm(l_hi, rmid) + mm(l_mid, rhi)
+                                       + mm(l_hi, rhi))
+                            else:   # "f32x6"
+                                rmid = rhs_mid_ref[sl16, :]
+                                rlo = rhs_lo_ref[sl16, :]
+                                out = ((mm(l_hi, rlo) + mm(l_mid, rmid)
+                                        + mm(l_lo, rhi))
+                                       + (mm(l_hi, rmid) + mm(l_mid, rhi))
+                                       + mm(l_hi, rhi))
+                            denom = out[:, 1 * L:2 * L]
                             safe = jnp.where(denom == 0.0, 1.0, denom)
-                            t = (c0 - ro_n) / safe
-                            s1 = mm(k1c, ro3) + t * mm(k1c, rd3) - c1
-                            s2 = mm(k2c, ro3) + t * mm(k2c, rd3) - c2
-                            s3 = mm(k3c, ro3) + t * mm(k3c, rd3) - c3
+                            # group 0 is n.ro - c0, so t = -(group0)/denom
+                            t = -out[:, 0:L] / safe
+                            s1 = out[:, 2 * L:3 * L] + t * out[:, 3 * L:4 * L]
+                            s2 = out[:, 4 * L:5 * L] + t * out[:, 5 * L:6 * L]
+                            s3 = out[:, 6 * L:7 * L] + t * out[:, 7 * L:8 * L]
                         else:
+                            rox = ray_ref[0, r:r + 1, :]
+                            roy = ray_ref[1, r:r + 1, :]
+                            roz = ray_ref[2, r:r + 1, :]
+                            rdx = ray_ref[3, r:r + 1, :]
+                            rdy = ray_ref[4, r:r + 1, :]
+                            rdz = ray_ref[5, r:r + 1, :]
                             denom = rdx * nx + rdy * ny + rdz * nz
                             ro_n = rox * nx + roy * ny + roz * nz
                             safe = jnp.where(denom == 0.0, 1.0, denom)
@@ -504,6 +563,10 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec] * 4,
+        # bf16 hi/mid/lo chunks of the per-row matmul rhs, built once
+        # per ray block at j == 0 (persist across the shortlist walk)
+        scratch_shapes=([pltpu.VMEM((_RB * 16, 8 * _LANES), jnp.bfloat16)] * 3
+                        if _MXU_SWEEP else []),
     )
     best_t, best_i, best_s2, best_s3 = pl.pallas_call(
         functools.partial(_sl_kernel, rows=_RB, kc=KC, sb=sb),
