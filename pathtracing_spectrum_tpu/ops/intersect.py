@@ -37,7 +37,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-BIG = jnp.float32(3.0e38)
+# numpy, NOT jnp: a module-level jnp scalar would initialize the jax
+# backend at import time — every CLI start would pay a device round-trip
+# (and hang outright if the TPU tunnel is unreachable) before user code
+# can force a platform. A numpy scalar traces identically.
+BIG = np.float32(3.0e38)
 
 
 def precompute_intersect_tables(v1, e1, e2, face_n
