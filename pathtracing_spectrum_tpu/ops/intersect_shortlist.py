@@ -30,6 +30,7 @@ front-to-back group order preserves because group index == index range).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -81,8 +82,12 @@ _ROW_CULL = False
 # NO scheme is bit-identical to the VPU path (sequential-rounding
 # order differs; the earlier "checksum-identical" HIGHEST claim was a
 # 3-significant-digit checksum), so the knob stays OFF by default and
-# the default path keeps dense-sweep bit-equivalence.
-_MXU_SWEEP = None
+# the default path keeps dense-sweep bit-equivalence. Opt in per
+# process with PTS_MXU_SWEEP=bf16x3|f32x6 (read once at import).
+_MXU_SWEEP = os.environ.get("PTS_MXU_SWEEP") or None
+if _MXU_SWEEP not in (None, "bf16", "bf16x3", "f32x6"):
+    raise ValueError(f"PTS_MXU_SWEEP={_MXU_SWEEP!r}: "
+                     "expected bf16, bf16x3 or f32x6")
 
 
 # ---------------------------------------------------------------------------
