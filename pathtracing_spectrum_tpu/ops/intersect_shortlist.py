@@ -91,6 +91,96 @@ if _MXU_SWEEP not in (None, "bf16", "bf16x3", "f32x6"):
 
 
 # ---------------------------------------------------------------------------
+# MXU sweep helpers — shared by the shortlist and worklist kernels.
+# ---------------------------------------------------------------------------
+
+def mxu_scratch_shapes(rows: int):
+    """bf16 hi/mid/lo chunk buffers for the per-row matmul rhs."""
+    return [pltpu.VMEM((rows * 16, 8 * _LANES), jnp.bfloat16)] * 3
+
+
+def _mxu_build_rhs(ray_ref, rows, rhs_hi_ref, rhs_mid_ref, rhs_lo_ref):
+    """Build the per-row [16, 8*LANES] matmul rhs once per ray block
+    (reused across every streamed group): rhs row k carries the
+    coefficient that multiplies tri16 column k, so out = tri16_cluster
+    @ rhs yields the 8 lane-aligned column groups (n.ro-c0 | n.rd |
+    k1.ro-c1 | k1.rd | ...). Stored pre-split into bf16 hi/mid/lo
+    chunks (hi = the 1-pass operand, hi+mid = 2-way split, all three =
+    the exact 3-way split of f32)."""
+    z = jnp.zeros((1, _LANES), jnp.float32)
+    m1 = -jnp.ones((1, _LANES), jnp.float32)
+    for r in range(rows):
+        ro3 = [ray_ref[k, r:r + 1, :] for k in range(3)]
+        rd3 = [ray_ref[k + 3, r:r + 1, :] for k in range(3)]
+        rows16 = []
+        for sec in range(4):            # n, k1, k2, k3
+            for comp in range(3):
+                pieces = [z] * 8
+                pieces[2 * sec] = ro3[comp]
+                pieces[2 * sec + 1] = rd3[comp]
+                rows16.append(jnp.concatenate(pieces, axis=1))
+        for sec in range(4):            # c0..c3 coefficients
+            pieces = [z] * 8
+            pieces[2 * sec] = m1
+            rows16.append(jnp.concatenate(pieces, axis=1))
+        rhs = jnp.concatenate(rows16, axis=0)
+        hi = rhs.astype(jnp.bfloat16)
+        r1 = rhs - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        rhs_hi_ref[r * 16:(r + 1) * 16, :] = hi
+        rhs_mid_ref[r * 16:(r + 1) * 16, :] = mid
+        rhs_lo_ref[r * 16:(r + 1) * 16, :] = lo
+
+
+def _mxu_lhs_chunks(tri_ref, base):
+    """bf16 hi/mid/lo split of the [CLUSTER, 16] tri16 block slice
+    (hoisted out of the row loop — one split per cluster)."""
+    trif = tri_ref[base:base + CLUSTER, :]
+    l_hi = trif.astype(jnp.bfloat16)
+    t1 = trif - l_hi.astype(jnp.float32)
+    l_mid = t1.astype(jnp.bfloat16)
+    l_lo = (t1 - l_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return l_hi, l_mid, l_lo
+
+
+def _mxu_sweep_row(lhs, rhs_refs, r):
+    """ONE [CLUSTER, 16] @ [16, 8*LANES] matmul for ray row r -> the
+    triangle predicate terms (denom, t, s1, s2, s3), each [CLUSTER,
+    LANES]. Manual bf16-split passes (native bf16xbf16->f32 MXU,
+    DEFAULT precision), summed smallest-magnitude first."""
+    l_hi, l_mid, l_lo = lhs
+    rhs_hi_ref, rhs_mid_ref, rhs_lo_ref = rhs_refs
+    L = _LANES
+    sl16 = slice(r * 16, (r + 1) * 16)
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    rhi = rhs_hi_ref[sl16, :]
+    if _MXU_SWEEP == "bf16":
+        out = mm(l_hi, rhi)
+    elif _MXU_SWEEP == "bf16x3":
+        rmid = rhs_mid_ref[sl16, :]
+        out = mm(l_hi, rmid) + mm(l_mid, rhi) + mm(l_hi, rhi)
+    else:   # "f32x6"
+        rmid = rhs_mid_ref[sl16, :]
+        rlo = rhs_lo_ref[sl16, :]
+        out = ((mm(l_hi, rlo) + mm(l_mid, rmid) + mm(l_lo, rhi))
+               + (mm(l_hi, rmid) + mm(l_mid, rhi)) + mm(l_hi, rhi))
+    denom = out[:, 1 * L:2 * L]
+    safe = jnp.where(denom == 0.0, 1.0, denom)
+    # group 0 is n.ro - c0, so t = -(group0)/denom
+    t = -out[:, 0:L] / safe
+    s1 = out[:, 2 * L:3 * L] + t * out[:, 3 * L:4 * L]
+    s2 = out[:, 4 * L:5 * L] + t * out[:, 5 * L:6 * L]
+    s3 = out[:, 6 * L:7 * L] + t * out[:, 7 * L:8 * L]
+    return denom, t, s1, s2, s3
+
+
+# ---------------------------------------------------------------------------
 # Stage 1: per-block group shortlists via interval arithmetic (plain XLA).
 # ---------------------------------------------------------------------------
 
@@ -262,38 +352,8 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb):
         best_s2_ref[:] = jnp.zeros_like(best_s2_ref)
         best_s3_ref[:] = jnp.zeros_like(best_s3_ref)
         if _MXU_SWEEP:
-            # Build the per-row [16, 8*LANES] matmul rhs once per ray
-            # block (reused across every shortlisted group): rhs row k
-            # carries the coefficient that multiplies tri16 column k,
-            # so out = tri16_cluster @ rhs yields the 8 lane-aligned
-            # column groups (n.ro-c0 | n.rd | k1.ro-c1 | k1.rd | ...).
-            # Stored pre-split into bf16 hi/mid/lo chunks (hi = the
-            # 1-pass operand, hi+mid = 2-way split, all three = the
-            # exact 3-way split of f32).
-            z = jnp.zeros((1, _LANES), jnp.float32)
-            m1 = -jnp.ones((1, _LANES), jnp.float32)
-            for r in range(rows):
-                ro3 = [ray_ref[k, r:r + 1, :] for k in range(3)]
-                rd3 = [ray_ref[k + 3, r:r + 1, :] for k in range(3)]
-                rows16 = []
-                for sec in range(4):            # n, k1, k2, k3
-                    for comp in range(3):
-                        pieces = [z] * 8
-                        pieces[2 * sec] = ro3[comp]
-                        pieces[2 * sec + 1] = rd3[comp]
-                        rows16.append(jnp.concatenate(pieces, axis=1))
-                for sec in range(4):            # c0..c3 coefficients
-                    pieces = [z] * 8
-                    pieces[2 * sec] = m1
-                    rows16.append(jnp.concatenate(pieces, axis=1))
-                rhs = jnp.concatenate(rows16, axis=0)
-                hi = rhs.astype(jnp.bfloat16)
-                r1 = rhs - hi.astype(jnp.float32)
-                mid = r1.astype(jnp.bfloat16)
-                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-                rhs_hi_ref[r * 16:(r + 1) * 16, :] = hi
-                rhs_mid_ref[r * 16:(r + 1) * 16, :] = mid
-                rhs_lo_ref[r * 16:(r + 1) * 16, :] = lo
+            _mxu_build_rhs(ray_ref, rows,
+                           rhs_hi_ref, rhs_mid_ref, rhs_lo_ref)
 
     # Front-to-back early exit: the shortlist is sorted by the group's
     # entry-t lower bound, so once that bound strictly exceeds the worst
@@ -352,14 +412,8 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb):
                 base = c * CLUSTER
                 if _MXU_SWEEP:
                     # matmul lhs IS the tri16 block: [CLUSTER, 16] with
-                    # K-vectors in cols 0:12 and c0..c3 in cols 12:16.
-                    # bf16 chunk split hoisted out of the row loop.
-                    trif = tri_ref[base:base + CLUSTER, :]
-                    l_hi = trif.astype(jnp.bfloat16)
-                    t1 = trif - l_hi.astype(jnp.float32)
-                    l_mid = t1.astype(jnp.bfloat16)
-                    l_lo = (t1 - l_mid.astype(jnp.float32)).astype(
-                        jnp.bfloat16)
+                    # K-vectors in cols 0:12 and c0..c3 in cols 12:16
+                    lhs = _mxu_lhs_chunks(tri_ref, base)
                 else:
                     nx = tri_ref[base:base + CLUSTER, 0:1]
                     ny = tri_ref[base:base + CLUSTER, 1:2]
@@ -382,40 +436,9 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb):
                 for r in range(rows):
                     def _row_body(r=r):
                         if _MXU_SWEEP:
-                            # ONE matmul: [CLUSTER, 16] @ [16, 8*LANES]
-                            # -> 8 lane-aligned column groups. Manual
-                            # bf16-split passes (native bf16xbf16->f32
-                            # MXU, DEFAULT precision), summed smallest-
-                            # magnitude first.
-                            L = _LANES
-                            sl16 = slice(r * 16, (r + 1) * 16)
-
-                            def mm(a, b):
-                                return jax.lax.dot_general(
-                                    a, b, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-
-                            rhi = rhs_hi_ref[sl16, :]
-                            if _MXU_SWEEP == "bf16":
-                                out = mm(l_hi, rhi)
-                            elif _MXU_SWEEP == "bf16x3":
-                                rmid = rhs_mid_ref[sl16, :]
-                                out = (mm(l_hi, rmid) + mm(l_mid, rhi)
-                                       + mm(l_hi, rhi))
-                            else:   # "f32x6"
-                                rmid = rhs_mid_ref[sl16, :]
-                                rlo = rhs_lo_ref[sl16, :]
-                                out = ((mm(l_hi, rlo) + mm(l_mid, rmid)
-                                        + mm(l_lo, rhi))
-                                       + (mm(l_hi, rmid) + mm(l_mid, rhi))
-                                       + mm(l_hi, rhi))
-                            denom = out[:, 1 * L:2 * L]
-                            safe = jnp.where(denom == 0.0, 1.0, denom)
-                            # group 0 is n.ro - c0, so t = -(group0)/denom
-                            t = -out[:, 0:L] / safe
-                            s1 = out[:, 2 * L:3 * L] + t * out[:, 3 * L:4 * L]
-                            s2 = out[:, 4 * L:5 * L] + t * out[:, 5 * L:6 * L]
-                            s3 = out[:, 6 * L:7 * L] + t * out[:, 7 * L:8 * L]
+                            denom, t, s1, s2, s3 = _mxu_sweep_row(
+                                lhs, (rhs_hi_ref, rhs_mid_ref, rhs_lo_ref),
+                                r)
                         else:
                             rox = ray_ref[0, r:r + 1, :]
                             roy = ray_ref[1, r:r + 1, :]
@@ -570,8 +593,7 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
         out_specs=[out_spec] * 4,
         # bf16 hi/mid/lo chunks of the per-row matmul rhs, built once
         # per ray block at j == 0 (persist across the shortlist walk)
-        scratch_shapes=([pltpu.VMEM((_RB * 16, 8 * _LANES), jnp.bfloat16)] * 3
-                        if _MXU_SWEEP else []),
+        scratch_shapes=mxu_scratch_shapes(_RB) if _MXU_SWEEP else [],
     )
     best_t, best_i, best_s2, best_s3 = pl.pallas_call(
         functools.partial(_sl_kernel, rows=_RB, kc=KC, sb=sb),

@@ -49,6 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .intersect_pallas import BIG, CLUSTER, _LANES, _slab_block
+from . import intersect_shortlist as isl
 from .intersect_shortlist import (_RB, build_shortlists,
                                   group_aabbs_from_clusters,
                                   intersect_shortlist_pallas_soa)
@@ -67,7 +68,7 @@ KC_DEFAULT = 8
 
 def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
                aabb_ref, best_t_ref, best_i_ref, best_s2_ref, best_s3_ref,
-               *, rows, kc, group_t):
+               *scratch, rows, kc, group_t):
     w = pl.program_id(0)
     blk = wl_block_ref[w]
     prev = wl_block_ref[jnp.maximum(w - 1, 0)]
@@ -79,6 +80,10 @@ def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
         best_i_ref[:] = jnp.zeros_like(best_i_ref)
         best_s2_ref[:] = jnp.zeros_like(best_s2_ref)
         best_s3_ref[:] = jnp.zeros_like(best_s3_ref)
+        if isl._MXU_SWEEP:
+            # the worklist is block-major, so the per-block matmul rhs
+            # built at each first visit stays valid until the next one
+            isl._mxu_build_rhs(ray_ref, rows, *scratch)
 
     @pl.when(wl_active_ref[w] != 0)
     def _():
@@ -106,42 +111,49 @@ def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
             @pl.when(jnp.any(slab))
             def _(c=c):
                 base = c * CLUSTER
-                nx = tri_ref[base:base + CLUSTER, 0:1]
-                ny = tri_ref[base:base + CLUSTER, 1:2]
-                nz = tri_ref[base:base + CLUSTER, 2:3]
-                k1x = tri_ref[base:base + CLUSTER, 3:4]
-                k1y = tri_ref[base:base + CLUSTER, 4:5]
-                k1z = tri_ref[base:base + CLUSTER, 5:6]
-                k2x = tri_ref[base:base + CLUSTER, 6:7]
-                k2y = tri_ref[base:base + CLUSTER, 7:8]
-                k2z = tri_ref[base:base + CLUSTER, 8:9]
-                k3x = tri_ref[base:base + CLUSTER, 9:10]
-                k3y = tri_ref[base:base + CLUSTER, 10:11]
-                k3z = tri_ref[base:base + CLUSTER, 11:12]
-                c0 = tri_ref[base:base + CLUSTER, 12:13]
-                c1 = tri_ref[base:base + CLUSTER, 13:14]
-                c2 = tri_ref[base:base + CLUSTER, 14:15]
-                c3 = tri_ref[base:base + CLUSTER, 15:16]
+                if isl._MXU_SWEEP:
+                    lhs = isl._mxu_lhs_chunks(tri_ref, base)
+                else:
+                    nx = tri_ref[base:base + CLUSTER, 0:1]
+                    ny = tri_ref[base:base + CLUSTER, 1:2]
+                    nz = tri_ref[base:base + CLUSTER, 2:3]
+                    k1x = tri_ref[base:base + CLUSTER, 3:4]
+                    k1y = tri_ref[base:base + CLUSTER, 4:5]
+                    k1z = tri_ref[base:base + CLUSTER, 5:6]
+                    k2x = tri_ref[base:base + CLUSTER, 6:7]
+                    k2y = tri_ref[base:base + CLUSTER, 7:8]
+                    k2z = tri_ref[base:base + CLUSTER, 8:9]
+                    k3x = tri_ref[base:base + CLUSTER, 9:10]
+                    k3y = tri_ref[base:base + CLUSTER, 10:11]
+                    k3z = tri_ref[base:base + CLUSTER, 11:12]
+                    c0 = tri_ref[base:base + CLUSTER, 12:13]
+                    c1 = tri_ref[base:base + CLUSTER, 13:14]
+                    c2 = tri_ref[base:base + CLUSTER, 14:15]
+                    c3 = tri_ref[base:base + CLUSTER, 15:16]
                 tri_base = gidx * group_t + base
 
                 for r in range(rows):
-                    rox = ray_ref[0, r:r + 1, :]
-                    roy = ray_ref[1, r:r + 1, :]
-                    roz = ray_ref[2, r:r + 1, :]
-                    rdx = ray_ref[3, r:r + 1, :]
-                    rdy = ray_ref[4, r:r + 1, :]
-                    rdz = ray_ref[5, r:r + 1, :]
+                    if isl._MXU_SWEEP:
+                        denom, t, s1, s2, s3 = isl._mxu_sweep_row(
+                            lhs, scratch, r)
+                    else:
+                        rox = ray_ref[0, r:r + 1, :]
+                        roy = ray_ref[1, r:r + 1, :]
+                        roz = ray_ref[2, r:r + 1, :]
+                        rdx = ray_ref[3, r:r + 1, :]
+                        rdy = ray_ref[4, r:r + 1, :]
+                        rdz = ray_ref[5, r:r + 1, :]
 
-                    denom = rdx * nx + rdy * ny + rdz * nz
-                    ro_n = rox * nx + roy * ny + roz * nz
-                    safe = jnp.where(denom == 0.0, 1.0, denom)
-                    t = (c0 - ro_n) / safe
-                    px = rox + t * rdx
-                    py = roy + t * rdy
-                    pz = roz + t * rdz
-                    s1 = px * k1x + py * k1y + pz * k1z - c1
-                    s2 = px * k2x + py * k2y + pz * k2z - c2
-                    s3 = px * k3x + py * k3y + pz * k3z - c3
+                        denom = rdx * nx + rdy * ny + rdz * nz
+                        ro_n = rox * nx + roy * ny + roz * nz
+                        safe = jnp.where(denom == 0.0, 1.0, denom)
+                        t = (c0 - ro_n) / safe
+                        px = rox + t * rdx
+                        py = roy + t * rdy
+                        pz = roz + t * rdz
+                        s1 = px * k1x + py * k1y + pz * k1z - c1
+                        s2 = px * k2x + py * k2y + pz * k2z - c2
+                        s3 = px * k3x + py * k3y + pz * k3z - c3
                     valid = ((denom != 0.0) & (t >= 0.0)
                              & (s1 >= 0.0) & (s2 >= 0.0) & (s3 >= 0.0))
                     tt = jnp.where(valid, t, BIG)
@@ -267,6 +279,10 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[out_spec] * 4,
+            # bf16 rhs chunks for the MXU sweep, rebuilt at each block's
+            # first visit (worklist entries are block-major)
+            scratch_shapes=(isl.mxu_scratch_shapes(_RB)
+                            if isl._MXU_SWEEP else []),
         )
         return pl.pallas_call(
             functools.partial(_wl_kernel, rows=_RB, kc=kc,

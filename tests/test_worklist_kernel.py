@@ -13,7 +13,7 @@ import pathtracing_spectrum_tpu.ops.intersect_worklist as iwl
 from test_shortlist_kernel import _rays, _soup
 
 
-def _check_equal(geo, tri16, caabb, ro, rd, bpb):
+def _check_equal(geo, tri16, caabb, ro, rd, bpb, rtol=1e-4):
     v1, e1, e2, fn, k1, k2, k3, consts = geo
     h0, t0, i0, _, _ = intersect_bruteforce(
         jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(fn), jnp.asarray(k1),
@@ -26,7 +26,7 @@ def _check_equal(geo, tri16, caabb, ro, rd, bpb):
     np.testing.assert_array_equal(h0, h1)
     m = h0
     np.testing.assert_allclose(np.asarray(t0)[m], np.asarray(t1)[m],
-                               rtol=1e-4, atol=1e-5)
+                               rtol=rtol, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i0)[m], np.asarray(i1)[m])
 
 
@@ -35,6 +35,27 @@ def _check_equal(geo, tri16, caabb, ro, rd, bpb):
 def test_worklist_matches_bruteforce(T, N):
     geo, tri16, caabb = _soup(T)
     _check_equal(geo, tri16, caabb, *_rays(N), bpb=iwl.BUDGET_PER_BLOCK)
+
+
+@pytest.mark.parametrize("scheme", ["bf16x3", "f32x6"])
+def test_worklist_mxu_sweep_matches_bruteforce(scheme):
+    """The MXU sweep knob must hold selection-identical through the
+    worklist kernel too (same tolerance story as the shortlist knob
+    test: deterministic seeds, no hit flips within the scheme's
+    documented deviation)."""
+    import pathtracing_spectrum_tpu.ops.intersect_shortlist as isl
+    geo, tri16, caabb = _soup(700, seed=8)
+    ro, rd = _rays(1024, seed=9)
+    old = isl._MXU_SWEEP
+    try:
+        isl._MXU_SWEEP = scheme
+        jax.clear_caches()
+        _check_equal(geo, tri16, caabb, ro, rd,
+                     bpb=iwl.BUDGET_PER_BLOCK,
+                     rtol=1e-3 if scheme == "bf16x3" else 1e-4)
+    finally:
+        isl._MXU_SWEEP = old
+        jax.clear_caches()
 
 
 @pytest.mark.slow
