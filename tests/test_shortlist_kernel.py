@@ -184,6 +184,58 @@ def test_knob_variants_match_bruteforce(knob, val, rtol):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("scheme,scale,max_flips", [
+    ("bf16x3", 1e-2, 2), ("bf16x3", 1e3, 2),
+    ("f32x6", 1e-2, 0), ("f32x6", 1e3, 0)])
+def test_mxu_sweep_schemes_across_scene_scales(scheme, scale, max_flips):
+    """The bf16-split error is RELATIVE, so scheme accuracy must hold at
+    scene scales far from the unit-ish soup the other knob tests use
+    (bench terrains span ~1e2, imported CAD can be mm or km). f32x6 is
+    the exact 3-way-split decomposition — zero hit flips allowed at any
+    scale; bf16x3's ~2^-18 relative t deviation may flip a near-tie
+    between overlapping soup triangles, so a tiny deterministic flip
+    budget is allowed (seeded; observed 0 flips at both scales)."""
+    rng = np.random.default_rng(8)
+    v1 = (rng.uniform(-5, 5, (700, 3)) * scale).astype(np.float32)
+    e1 = (rng.normal(0, 0.3, (700, 3)) * scale).astype(np.float32)
+    e2 = (rng.normal(0, 0.3, (700, 3)) * scale).astype(np.float32)
+    fn = np.cross(e1, e2)
+    fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-30)
+    k1, k2, k3, consts = precompute_intersect_tables(v1, e1, e2, fn)
+    tri16 = pack_tri16(*(jnp.asarray(x) for x in (fn, k1, k2, k3, consts)))
+    v2, v3 = v1 + e1, v1 + e2
+    caabb = jnp.asarray(build_cluster_aabbs(
+        np.minimum(np.minimum(v1, v2), v3).astype(np.float32),
+        np.maximum(np.maximum(v1, v2), v3).astype(np.float32)))
+    ro, rd = _rays(1024, seed=9)
+    unparked = ro < 1e29                       # parked 1e30 stays parked
+    ro = np.where(unparked, ro * scale, ro).astype(np.float32)
+    h0, t0, i0, _, _ = intersect_bruteforce(
+        jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(fn), jnp.asarray(k1),
+        jnp.asarray(k2), jnp.asarray(k3), jnp.asarray(consts))
+    old = isl._MXU_SWEEP
+    try:
+        isl._MXU_SWEEP = scheme
+        jax.clear_caches()
+        h1, t1, i1, _, _ = isl.intersect_shortlist_pallas_soa(
+            *(jnp.asarray(ro[:, k]) for k in range(3)),
+            *(jnp.asarray(rd[:, k]) for k in range(3)),
+            tri16, caabb, interpret=True)
+    finally:
+        isl._MXU_SWEEP = old
+        jax.clear_caches()
+    h0, h1 = np.asarray(h0), np.asarray(h1)
+    np.testing.assert_array_equal(h0, h1)
+    m = h0
+    flips = int((np.asarray(i0)[m] != np.asarray(i1)[m]).sum())
+    assert flips <= max_flips, f"{flips} hit-index flips (budget {max_flips})"
+    same = m & (np.asarray(i0) == np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(t0)[same], np.asarray(t1)[same],
+                               rtol=(1e-3 if scheme == "bf16x3" else 1e-4),
+                               atol=1e-5 * scale)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("sb", [2, 4])
 def test_superblock_shortlists_match_bruteforce(sb):
     """SMEM-budget super-blocking (shortlists per sb kernel blocks) must be
