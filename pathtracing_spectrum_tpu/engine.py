@@ -48,6 +48,7 @@ oracle can replay the identical random sequence.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -198,6 +199,15 @@ def make_intersector(scene: SceneData, backend: str, leaf_size: int = 4):
     the primary-hit hoist in :func:`render_samples`."""
     n_tris = scene.tri_shade.shape[0]
     backend = resolve_backend(backend, n_tris=n_tris)
+    # MXU sweep scheme policy for the hierarchical kernels. The env var
+    # (PTS_MXU_SWEEP, incl. set-but-empty = force off) always wins; the
+    # measured default is OFF until the hardware run in
+    # docs/tpu_cost_model.md records a win (the schemes are
+    # value-faithful but not bit-identical to the VPU sweep).
+    if "PTS_MXU_SWEEP" in os.environ:
+        from .ops.intersect_shortlist import _MXU_SWEEP as mxu
+    else:
+        mxu = None
     tri16 = (pack_tri16(scene.tri_face_n, scene.tri_k1, scene.tri_k2,
                         scene.tri_k3, scene.tri_consts)
              if backend in ("dense_pallas", "cluster", "shortlist",
@@ -229,13 +239,13 @@ def make_intersector(scene: SceneData, backend: str, leaf_size: int = 4):
             interp = jax.devices()[0].platform.lower() not in ("tpu", "axon")
             return intersect_worklist_pallas_soa(
                 ox, oy, oz, dx, dy, dz, tri16, scene.cluster_aabbs,
-                interpret=interp)
+                interpret=interp, mxu=mxu)
         if backend_here == "shortlist":
             from .ops.intersect_shortlist import intersect_shortlist_pallas_soa
             interp = jax.devices()[0].platform.lower() not in ("tpu", "axon")
             return intersect_shortlist_pallas_soa(
                 ox, oy, oz, dx, dy, dz, tri16, scene.cluster_aabbs,
-                interpret=interp)
+                interpret=interp, mxu=mxu)
         if backend == "cluster":
             return intersect_clustered_pallas_soa(
                 ox, oy, oz, dx, dy, dz, tri16, scene.cluster_aabbs)

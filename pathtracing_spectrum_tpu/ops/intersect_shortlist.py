@@ -82,12 +82,25 @@ _ROW_CULL = False
 # NO scheme is bit-identical to the VPU path (sequential-rounding
 # order differs; the earlier "checksum-identical" HIGHEST claim was a
 # 3-significant-digit checksum), so the knob stays OFF by default and
-# the default path keeps dense-sweep bit-equivalence. Opt in per
-# process with PTS_MXU_SWEEP=bf16x3|f32x6 (read once at import).
+# the default path keeps dense-sweep bit-equivalence. Select per call
+# via the kernels' static ``mxu=`` argument, or per process with
+# PTS_MXU_SWEEP=bf16x3|f32x6 (the ``mxu="env"`` default reads it).
+_MXU_SCHEMES = (None, "bf16", "bf16x3", "f32x6")
 _MXU_SWEEP = os.environ.get("PTS_MXU_SWEEP") or None
-if _MXU_SWEEP not in (None, "bf16", "bf16x3", "f32x6"):
+if _MXU_SWEEP not in _MXU_SCHEMES:
     raise ValueError(f"PTS_MXU_SWEEP={_MXU_SWEEP!r}: "
                      "expected bf16, bf16x3 or f32x6")
+
+
+def resolve_mxu(mxu):
+    """Resolve a kernel ``mxu=`` argument: the "env" sentinel defers to
+    PTS_MXU_SWEEP (module default), anything else must be a scheme."""
+    if mxu == "env":
+        return _MXU_SWEEP
+    if mxu not in _MXU_SCHEMES:
+        raise ValueError(f"mxu={mxu!r}: expected None, 'env', "
+                         "'bf16', 'bf16x3' or 'f32x6'")
+    return mxu
 
 
 # ---------------------------------------------------------------------------
@@ -144,7 +157,7 @@ def _mxu_lhs_chunks(tri_ref, base):
     return l_hi, l_mid, l_lo
 
 
-def _mxu_sweep_row(lhs, rhs_refs, r):
+def _mxu_sweep_row(lhs, rhs_refs, r, mxu):
     """ONE [CLUSTER, 16] @ [16, 8*LANES] matmul for ray row r -> the
     triangle predicate terms (denom, t, s1, s2, s3), each [CLUSTER,
     LANES]. Manual bf16-split passes (native bf16xbf16->f32 MXU,
@@ -160,9 +173,9 @@ def _mxu_sweep_row(lhs, rhs_refs, r):
             preferred_element_type=jnp.float32)
 
     rhi = rhs_hi_ref[sl16, :]
-    if _MXU_SWEEP == "bf16":
+    if mxu == "bf16":
         out = mm(l_hi, rhi)
-    elif _MXU_SWEEP == "bf16x3":
+    elif mxu == "bf16x3":
         rmid = rhs_mid_ref[sl16, :]
         out = mm(l_hi, rmid) + mm(l_mid, rhi) + mm(l_hi, rhi)
     else:   # "f32x6"
@@ -331,14 +344,14 @@ def build_shortlists(rays, group_aabb, group_valid, block_rows: int = _RB):
 # ---------------------------------------------------------------------------
 
 
-def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb):
+def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu):
     # tnear rides as a third prefetch array ONLY when the early-exit knob
     # is on — prefetch args are copied to SMEM whether read or not (they
     # are pallas_call operands, invisible to XLA DCE), so the unused array
     # would tax every call.
     if _EARLY_EXIT:
         tnear_ref, *refs = refs
-    if _MXU_SWEEP:
+    if mxu:
         *refs, rhs_hi_ref, rhs_mid_ref, rhs_lo_ref = refs
     (ray_ref, tri_ref, aabb_ref,
      best_t_ref, best_i_ref, best_s2_ref, best_s3_ref) = refs
@@ -351,7 +364,7 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb):
         best_i_ref[:] = jnp.zeros_like(best_i_ref)
         best_s2_ref[:] = jnp.zeros_like(best_s2_ref)
         best_s3_ref[:] = jnp.zeros_like(best_s3_ref)
-        if _MXU_SWEEP:
+        if mxu:
             _mxu_build_rhs(ray_ref, rows,
                            rhs_hi_ref, rhs_mid_ref, rhs_lo_ref)
 
@@ -410,7 +423,7 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb):
             @pl.when(jnp.any(slab))
             def _(c=c, row_any=row_any):
                 base = c * CLUSTER
-                if _MXU_SWEEP:
+                if mxu:
                     # matmul lhs IS the tri16 block: [CLUSTER, 16] with
                     # K-vectors in cols 0:12 and c0..c3 in cols 12:16
                     lhs = _mxu_lhs_chunks(tri_ref, base)
@@ -435,10 +448,10 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb):
 
                 for r in range(rows):
                     def _row_body(r=r):
-                        if _MXU_SWEEP:
+                        if mxu:
                             denom, t, s1, s2, s3 = _mxu_sweep_row(
                                 lhs, (rhs_hi_ref, rhs_mid_ref, rhs_lo_ref),
-                                r)
+                                r, mxu)
                         else:
                             rox = ray_ref[0, r:r + 1, :]
                             roy = ray_ref[1, r:r + 1, :]
@@ -492,10 +505,10 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb):
                         _row_body()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "sb"))
+@functools.partial(jax.jit, static_argnames=("interpret", "sb", "mxu"))
 def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
                                    cluster_aabbs, interpret: bool = False,
-                                   sb: int = 0):
+                                   sb: int = 0, mxu: str | None = "env"):
     """Closest hit via the shortlist-driven cluster kernel.
 
     Args:
@@ -503,10 +516,13 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
       tri_pack: [T, 16] packed table (pack_tri16), BVH-ordered.
       cluster_aabbs: [ceil(T/CLUSTER), 8] from build_cluster_aabbs.
       sb: super-block factor override (0 = auto from the SMEM budget).
+      mxu: MXU sweep scheme (None, "bf16", "bf16x3", "f32x6") or "env"
+        to defer to PTS_MXU_SWEEP — see the module knob comment.
 
     Returns (hit [N] bool, t [N], idx [N] int32, s2 [N], s3 [N]),
     idx in BVH order — identical selection to the dense sweep.
     """
+    mxu = resolve_mxu(mxu)
     n = rox.shape[0]
     t_count = tri_pack.shape[0]
     n_groups_est = -(-max(t_count, 1) // GROUP_T)
@@ -593,10 +609,10 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
         out_specs=[out_spec] * 4,
         # bf16 hi/mid/lo chunks of the per-row matmul rhs, built once
         # per ray block at j == 0 (persist across the shortlist walk)
-        scratch_shapes=mxu_scratch_shapes(_RB) if _MXU_SWEEP else [],
+        scratch_shapes=mxu_scratch_shapes(_RB) if mxu else [],
     )
     best_t, best_i, best_s2, best_s3 = pl.pallas_call(
-        functools.partial(_sl_kernel, rows=_RB, kc=KC, sb=sb),
+        functools.partial(_sl_kernel, rows=_RB, kc=KC, sb=sb, mxu=mxu),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),

@@ -68,7 +68,7 @@ KC_DEFAULT = 8
 
 def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
                aabb_ref, best_t_ref, best_i_ref, best_s2_ref, best_s3_ref,
-               *scratch, rows, kc, group_t):
+               *scratch, rows, kc, group_t, mxu):
     w = pl.program_id(0)
     blk = wl_block_ref[w]
     prev = wl_block_ref[jnp.maximum(w - 1, 0)]
@@ -80,7 +80,7 @@ def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
         best_i_ref[:] = jnp.zeros_like(best_i_ref)
         best_s2_ref[:] = jnp.zeros_like(best_s2_ref)
         best_s3_ref[:] = jnp.zeros_like(best_s3_ref)
-        if isl._MXU_SWEEP:
+        if mxu:
             # the worklist is block-major, so the per-block matmul rhs
             # built at each first visit stays valid until the next one
             isl._mxu_build_rhs(ray_ref, rows, *scratch)
@@ -111,7 +111,7 @@ def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
             @pl.when(jnp.any(slab))
             def _(c=c):
                 base = c * CLUSTER
-                if isl._MXU_SWEEP:
+                if mxu:
                     lhs = isl._mxu_lhs_chunks(tri_ref, base)
                 else:
                     nx = tri_ref[base:base + CLUSTER, 0:1]
@@ -133,9 +133,9 @@ def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
                 tri_base = gidx * group_t + base
 
                 for r in range(rows):
-                    if isl._MXU_SWEEP:
+                    if mxu:
                         denom, t, s1, s2, s3 = isl._mxu_sweep_row(
-                            lhs, scratch, r)
+                            lhs, scratch, r, mxu)
                     else:
                         rox = ray_ref[0, r:r + 1, :]
                         roy = ray_ref[1, r:r + 1, :]
@@ -184,11 +184,13 @@ def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
                         better, s3_sel, best_s3_ref[r:r + 1, :])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "bpb", "kc"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "bpb", "kc", "mxu"))
 def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
                                   cluster_aabbs, interpret: bool = False,
                                   bpb: int = BUDGET_PER_BLOCK,
-                                  kc: int = KC_DEFAULT):
+                                  kc: int = KC_DEFAULT,
+                                  mxu: str | None = "env"):
     """Closest hit via the pooled-worklist kernel.
 
     Args:
@@ -199,10 +201,13 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
         docstring). Totals above the pool fall back to the round-2 kernel.
       kc: clusters (of 128 triangles) per group — the stage-1 culling and
         DMA granularity.
+      mxu: MXU sweep scheme (None, "bf16", "bf16x3", "f32x6") or "env"
+        to defer to PTS_MXU_SWEEP — see intersect_shortlist's knob.
 
     Returns (hit [N] bool, t [N], idx [N] int32, s2 [N], s3 [N]),
     idx in BVH order — identical selection to the dense sweep.
     """
+    mxu = isl.resolve_mxu(mxu)
     n = rox.shape[0]
     t_count = tri_pack.shape[0]
 
@@ -282,11 +287,11 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
             # bf16 rhs chunks for the MXU sweep, rebuilt at each block's
             # first visit (worklist entries are block-major)
             scratch_shapes=(isl.mxu_scratch_shapes(_RB)
-                            if isl._MXU_SWEEP else []),
+                            if mxu else []),
         )
         return pl.pallas_call(
             functools.partial(_wl_kernel, rows=_RB, kc=kc,
-                              group_t=group_t),
+                              group_t=group_t, mxu=mxu),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),
@@ -315,7 +320,7 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
         # round-2 kernel: grid (NB, G), handles any shortlist total
         hit, t, i, s2, s3 = intersect_shortlist_pallas_soa(
             rox, roy, roz, rdx, rdy, rdz, tri_pack[:t_count],
-            cluster_aabbs, interpret=interpret)
+            cluster_aabbs, interpret=interpret, mxu=mxu)
         pad = jnp.zeros((pad_n,), jnp.float32)
         padi = jnp.zeros((pad_n,), jnp.int32)
         return (jnp.concatenate([t, jnp.full((pad_n,), BIG, jnp.float32)])

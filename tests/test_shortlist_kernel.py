@@ -151,11 +151,11 @@ def test_reorder_is_bit_identical():
 
 @pytest.mark.parametrize("knob,val,rtol", [
     ("_EARLY_EXIT", True, 1e-4), ("_ROW_CULL", True, 1e-4),
-    ("_MXU_SWEEP", "bf16x3", 1e-3), ("_MXU_SWEEP", "f32x6", 1e-4)])
+    ("mxu", "bf16x3", 1e-3), ("mxu", "f32x6", 1e-4)])
 def test_knob_variants_match_bruteforce(knob, val, rtol):
     """The off-by-default culling knobs must stay selection-identical —
     incl. the early-exit's min(best_t, root-box cap) bound, which lets
-    sky/miss rays release the block's exit. (_MXU_SWEEP schemes carry a
+    sky/miss rays release the block's exit. (mxu schemes carry a
     documented <=2^-18 relative deviation from the VPU rounding order —
     these seeds are deterministic, no hit flips within tolerance.)"""
     geo, tri16, caabb = _soup(700, seed=8)
@@ -164,17 +164,23 @@ def test_knob_variants_match_bruteforce(knob, val, rtol):
     h0, t0, i0, _, _ = intersect_bruteforce(
         jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(fn), jnp.asarray(k1),
         jnp.asarray(k2), jnp.asarray(k3), jnp.asarray(consts))
-    old = getattr(isl, knob)
-    try:
-        setattr(isl, knob, val)
-        jax.clear_caches()
+    if knob == "mxu":      # per-call static arg, no module state involved
         h1, t1, i1, _, _ = isl.intersect_shortlist_pallas_soa(
             *(jnp.asarray(ro[:, k]) for k in range(3)),
             *(jnp.asarray(rd[:, k]) for k in range(3)),
-            tri16, caabb, interpret=True)
-    finally:
-        setattr(isl, knob, old)
-        jax.clear_caches()
+            tri16, caabb, interpret=True, mxu=val)
+    else:
+        old = getattr(isl, knob)
+        try:
+            setattr(isl, knob, val)
+            jax.clear_caches()
+            h1, t1, i1, _, _ = isl.intersect_shortlist_pallas_soa(
+                *(jnp.asarray(ro[:, k]) for k in range(3)),
+                *(jnp.asarray(rd[:, k]) for k in range(3)),
+                tri16, caabb, interpret=True)
+        finally:
+            setattr(isl, knob, old)
+            jax.clear_caches()
     h0, h1 = np.asarray(h0), np.asarray(h1)
     np.testing.assert_array_equal(h0, h1)
     m = h0
@@ -213,17 +219,10 @@ def test_mxu_sweep_schemes_across_scene_scales(scheme, scale, max_flips):
     h0, t0, i0, _, _ = intersect_bruteforce(
         jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(fn), jnp.asarray(k1),
         jnp.asarray(k2), jnp.asarray(k3), jnp.asarray(consts))
-    old = isl._MXU_SWEEP
-    try:
-        isl._MXU_SWEEP = scheme
-        jax.clear_caches()
-        h1, t1, i1, _, _ = isl.intersect_shortlist_pallas_soa(
-            *(jnp.asarray(ro[:, k]) for k in range(3)),
-            *(jnp.asarray(rd[:, k]) for k in range(3)),
-            tri16, caabb, interpret=True)
-    finally:
-        isl._MXU_SWEEP = old
-        jax.clear_caches()
+    h1, t1, i1, _, _ = isl.intersect_shortlist_pallas_soa(
+        *(jnp.asarray(ro[:, k]) for k in range(3)),
+        *(jnp.asarray(rd[:, k]) for k in range(3)),
+        tri16, caabb, interpret=True, mxu=scheme)
     h0, h1 = np.asarray(h0), np.asarray(h1)
     np.testing.assert_array_equal(h0, h1)
     m = h0

@@ -13,7 +13,7 @@ import pathtracing_spectrum_tpu.ops.intersect_worklist as iwl
 from test_shortlist_kernel import _rays, _soup
 
 
-def _check_equal(geo, tri16, caabb, ro, rd, bpb, rtol=1e-4):
+def _check_equal(geo, tri16, caabb, ro, rd, bpb, rtol=1e-4, mxu="env"):
     v1, e1, e2, fn, k1, k2, k3, consts = geo
     h0, t0, i0, _, _ = intersect_bruteforce(
         jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(fn), jnp.asarray(k1),
@@ -21,7 +21,7 @@ def _check_equal(geo, tri16, caabb, ro, rd, bpb, rtol=1e-4):
     h1, t1, i1, s2, s3 = iwl.intersect_worklist_pallas_soa(
         *(jnp.asarray(ro[:, k]) for k in range(3)),
         *(jnp.asarray(rd[:, k]) for k in range(3)),
-        tri16, caabb, interpret=True, bpb=bpb)
+        tri16, caabb, interpret=True, bpb=bpb, mxu=mxu)
     h0, h1 = np.asarray(h0), np.asarray(h1)
     np.testing.assert_array_equal(h0, h1)
     m = h0
@@ -43,19 +43,12 @@ def test_worklist_mxu_sweep_matches_bruteforce(scheme):
     worklist kernel too (same tolerance story as the shortlist knob
     test: deterministic seeds, no hit flips within the scheme's
     documented deviation)."""
-    import pathtracing_spectrum_tpu.ops.intersect_shortlist as isl
     geo, tri16, caabb = _soup(700, seed=8)
     ro, rd = _rays(1024, seed=9)
-    old = isl._MXU_SWEEP
-    try:
-        isl._MXU_SWEEP = scheme
-        jax.clear_caches()
-        _check_equal(geo, tri16, caabb, ro, rd,
-                     bpb=iwl.BUDGET_PER_BLOCK,
-                     rtol=1e-3 if scheme == "bf16x3" else 1e-4)
-    finally:
-        isl._MXU_SWEEP = old
-        jax.clear_caches()
+    _check_equal(geo, tri16, caabb, ro, rd,
+                 bpb=iwl.BUDGET_PER_BLOCK,
+                 rtol=1e-3 if scheme == "bf16x3" else 1e-4,
+                 mxu=scheme)
 
 
 @pytest.mark.slow

@@ -16,7 +16,7 @@ this once per scheme:
     PTS_MXU_SWEEP=bf16x3 python tools/bench_mxu_sweep.py
     PTS_MXU_SWEEP=f32x6  python tools/bench_mxu_sweep.py
 
-(In-process scheme flipping via isl._MXU_SWEEP + jax.clear_caches()
+(In-process scheme selection via the kernels' static ``mxu=`` argument
 also works and is what the knob equivalence tests do; a fresh process
 per scheme removes any doubt about stale compile caches when numbers
 go in the cost model.)
