@@ -351,15 +351,15 @@ def config6_large_scenes():
                mrays_per_sec=round(st["mrays_per_s"], 1), **extra)
 
 
-def _terrain_agreement(sc, n_rays=4096):
+def _terrain_agreement(sc, res=64):
     """Correctness probe for the largest scene: primary-hit selection of the
-    worklist kernel vs the dense Pallas sweep on a sampled ray set (the
-    dense sweep is exhaustive ground truth; 1M tris x 4k rays is a one-off
-    cost)."""
+    worklist kernel vs the dense Pallas sweep on a res x res sampled ray
+    set (the dense sweep is exhaustive ground truth; 1M tris x 4k rays is
+    a one-off cost)."""
     from pathtracing_spectrum_tpu.engine import make_intersector
     from pathtracing_spectrum_tpu.models.camera import camera_rays
     sd = sc.compile()
-    ro, rd = camera_rays(sc.camera(), 64, 64)
+    ro, rd = camera_rays(sc.camera(), res, res)
     args = tuple(jnp.asarray(np.asarray(x)[:, k])
                  for x in (ro, rd) for k in range(3))
     fast, _ = make_intersector(sd, "worklist")

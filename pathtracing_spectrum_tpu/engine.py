@@ -63,6 +63,12 @@ from .ops.intersect_pallas import (BIG, intersect_clustered_pallas_soa,
                                    intersect_dense_pallas_soa, pack_tri16)
 from .ops.bvh import intersect_bvh
 from .ops.texturing import sample_nearest_wh
+# Reorder constants + key/segment/bounds primitives live in reorder.py
+# (shared with engine_compact — byte-identical keys are load-bearing for
+# its bit-identity guarantee); re-exported here for compatibility.
+from .reorder import (REORDER_AUTO_MIN_TRIS, REORDER_POS_BITS,   # noqa: F401
+                      REORDER_SEGMENT, scene_bounds, segment_for,
+                      sort_key)
 
 # One-hot MXU fetch while the [T, N] one-hot stays under this many bytes;
 # single packed gather above (the one-hot would blow HBM for big scenes).
@@ -78,27 +84,6 @@ FETCH_PALLAS_MAX_GROUPS = 16
 
 # "auto" backend: dense sweep below this triangle count.
 DENSE_AUTO_MAX_TRIS = 512
-
-# "auto" bounce-ray reorder: only above this triangle count. With the
-# segmented sort + packed row-gather application the reorder pays from a
-# couple thousand triangles up (1080p/2.2k tris: 1.95 -> 2.33 spp/s; 52k:
-# 2.9 -> 6.5); below ~1k the shortlist has almost nothing to cull and the
-# per-bounce sort is pure overhead.
-REORDER_AUTO_MIN_TRIS = 1024
-
-# Reorder key layout: morton bits per origin axis.
-REORDER_POS_BITS = 4
-
-# Reorder sorts run per SEGMENT of this many rays, not globally: XLA's
-# bitonic sort on a [S, L] batch keeps each segment's network in VMEM
-# (measured 3.1 ms vs 30.4 ms for a global 2M-key argsort on v5e), and a
-# segment-local permutation lets the inverse be another cheap segmented
-# argsort instead of a scatter (85 ms for a [2M, 4] row scatter!). Rays
-# only move within their segment — dead-ray compaction and octant grouping
-# become per-segment, which block-level culling is equally happy with
-# (segment = 64 blocks of 1024 rays).
-REORDER_SEGMENT = 65536
-
 
 def resolve_backend(backend: str, n_tris: int) -> str:
     """Map 'auto'/'dense' to a concrete implementation for this platform.
@@ -340,56 +325,24 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                       and backend in ("cluster", "shortlist", "worklist", "hier")
                       and n_tris >= REORDER_AUTO_MIN_TRIS))
     if do_reorder:
-        _POS_BITS = REORDER_POS_BITS
-        # largest segment <= REORDER_SEGMENT that divides N in whole
-        # 1024-ray blocks; falls back to one global segment
-        _SEG = n
-        for d in range(REORDER_SEGMENT // 1024, 0, -1):
-            if n % (1024 * d) == 0:
-                _SEG = 1024 * d
-                break
-        ca = scene.cluster_aabbs
-        cvalid = (ca[:, 0] <= ca[:, 3])[:, None]
-        smin = jnp.min(jnp.where(cvalid, ca[:, 0:3], jnp.inf), axis=0)
-        smax = jnp.max(jnp.where(cvalid, ca[:, 3:6], -jnp.inf), axis=0)
-        inv_ext = 1.0 / jnp.maximum(smax - smin, 1e-6)
+        _SEG = segment_for(n)
+        smin, inv_ext = scene_bounds(scene)
 
         def sort_perm(ox, oy, oz, dx, dy, dz, alive):
-            """Stable order: direction octant first (sign-coherent blocks —
-            the shortlist's interval slab test constrains nothing on an axis
-            whose direction bounds span 0), then a morton cell of the origin
-            (tight origin bounds per block). Dead rays key to the maximum so
-            whole tail blocks go fully-parked and shortlist to zero groups.
-            SEGMENTED sort (REORDER_SEGMENT): keys are argsorted per
-            segment, so the bitonic network stays in VMEM (3.1 ms vs
-            30.4 ms global at 2M keys on v5e) and the inverse permutation
-            is just another segmented argsort of the forward one — no
-            scatter anywhere (an [N, 4] row scatter measured 85 ms). The
-            permutation is APPLIED as packed row gathers (see the do_sort
-            branch): XLA's per-element gather runs ~500 MB/s on TPU
-            regardless of locality, while 16-24B row gathers run ~10x
-            faster — per-plane indexing was the dominant cost of the whole
-            bounce (61 ms of a 258 ms 6-bounce sample at 262k rays)."""
-            cells = 1 << _POS_BITS
-
-            def q(v, lo, ie):
-                return jnp.clip(((v - lo) * ie * cells).astype(jnp.int32),
-                                0, cells - 1)
-
-            qx = q(ox, smin[0], inv_ext[0])
-            qy = q(oy, smin[1], inv_ext[1])
-            qz = q(oz, smin[2], inv_ext[2])
-            m = jnp.zeros_like(qx)
-            for b in range(_POS_BITS):
-                m = (m | (((qx >> b) & 1) << (3 * b + 2))
-                     | (((qy >> b) & 1) << (3 * b + 1))
-                     | (((qz >> b) & 1) << (3 * b)))
-            octant = ((dx < 0).astype(jnp.int32) * 4
-                      + (dy < 0).astype(jnp.int32) * 2
-                      + (dz < 0).astype(jnp.int32))
-            key = (octant << (3 * _POS_BITS)) | m
-            # dead rays -> top bucket (one extra key bit)
-            key = jnp.where(alive, key, jnp.int32(1) << (3 * _POS_BITS + 3))
+            """Forward + inverse segment-local permutations from the
+            shared reorder key (reorder.sort_key — octant, then origin
+            morton cell; dead rays to the top bucket so fully-parked
+            tail blocks shortlist to zero groups). The inverse is just
+            another segmented argsort of the forward one — no scatter
+            anywhere (an [N, 4] row scatter measured 85 ms). The
+            permutation is APPLIED as packed row gathers (see the
+            do_sort branch): XLA's per-element gather runs ~500 MB/s on
+            TPU regardless of locality, while 16-24B row gathers run
+            ~10x faster — per-plane indexing was the dominant cost of
+            the whole bounce (61 ms of a 258 ms 6-bounce sample at 262k
+            rays)."""
+            key = sort_key(ox, oy, oz, dx, dy, dz, alive, smin, inv_ext,
+                           morton=True)
             ns = n // _SEG
             perm_l = jnp.argsort(key.reshape(ns, _SEG), axis=1,
                                  stable=True).astype(jnp.int32)

@@ -78,7 +78,8 @@ import jax.numpy as jnp
 from .constants import EPS
 from .ops import sampling
 from .ops.intersect_pallas import BIG
-from .engine import REORDER_AUTO_MIN_TRIS, REORDER_POS_BITS, REORDER_SEGMENT
+from .reorder import (REORDER_AUTO_MIN_TRIS, scene_bounds as _scene_bounds,
+                      segment_for as _segment_for, sort_key as _sort_key)
 from . import engine_common as ec
 
 # Schedule quantization: per-segment prefixes are multiples of this.
@@ -87,15 +88,6 @@ PREFIX_MARGIN = 1.15
 MAX_SPLITS = 3
 # a split must shrink the width by at least this factor to be compiled
 SPLIT_RATIO = 0.75
-
-
-def _segment_for(n: int) -> int:
-    """Largest segment <= REORDER_SEGMENT dividing n in whole 1024-ray
-    blocks (engine.py's rule)."""
-    for d in range(REORDER_SEGMENT // 1024, 0, -1):
-        if n % (1024 * d) == 0:
-            return 1024 * d
-    return n
 
 
 def interleave_blocks(n: int):
@@ -117,43 +109,6 @@ def interleave_blocks(n: int):
     blk = np.arange(n // 1024, dtype=np.int64).reshape(spb, ns).T
     perm = blk.reshape(-1)[:, None] * 1024 + np.arange(1024)[None, :]
     return perm.reshape(-1).astype(np.int32)
-
-
-def _scene_bounds(scene):
-    ca = scene.cluster_aabbs
-    cvalid = (ca[:, 0] <= ca[:, 3])[:, None]
-    smin = jnp.min(jnp.where(cvalid, ca[:, 0:3], jnp.inf), axis=0)
-    smax = jnp.max(jnp.where(cvalid, ca[:, 3:6], -jnp.inf), axis=0)
-    return smin, 1.0 / jnp.maximum(smax - smin, 1e-6)
-
-
-def _sort_key(ox, oy, oz, dx, dy, dz, alive, smin, inv_ext, morton: bool):
-    """Engine.body's reorder key: (dead, direction octant, origin morton);
-    dead rays key to the top bucket so live rays compact to the front.
-    ``morton=False`` keeps only the dead bit (backends without block
-    culling gain nothing from coherence; the sort still compacts)."""
-    dead_bit = jnp.int32(1) << (3 * REORDER_POS_BITS + 3)
-    if not morton:
-        return jnp.where(alive, 0, dead_bit)
-    cells = 1 << REORDER_POS_BITS
-
-    def q(v, lo, ie):
-        return jnp.clip(((v - lo) * ie * cells).astype(jnp.int32),
-                        0, cells - 1)
-
-    qx = q(ox, smin[0], inv_ext[0])
-    qy = q(oy, smin[1], inv_ext[1])
-    qz = q(oz, smin[2], inv_ext[2])
-    m = jnp.zeros_like(qx)
-    for b in range(REORDER_POS_BITS):
-        m = (m | (((qx >> b) & 1) << (3 * b + 2))
-             | (((qy >> b) & 1) << (3 * b + 1))
-             | (((qz >> b) & 1) << (3 * b)))
-    octant = ((dx < 0).astype(jnp.int32) * 4
-              + (dy < 0).astype(jnp.int32) * 2
-              + (dz < 0).astype(jnp.int32))
-    key = (octant << (3 * REORDER_POS_BITS)) | m
-    return jnp.where(alive, key, dead_bit)
 
 
 def _uniform4_at(key_h, src_f, n: int):
@@ -203,6 +158,9 @@ def compact_render_samples(scene, ro, rd, total, samples, base_key,
     nw = scene.wavenumbers.shape[0]
     n_tris = scene.tri_shade.shape[0]
     assert n < (1 << 24), "float-exact src pack needs N < 2^24"
+    # the steady-sorted bounce also rides idx through an f32 plane
+    # (same trick as engine.py's reorder pack) — guard T as well
+    assert n_tris < (1 << 24), "float-exact idx pack needs T < 2^24"
     ctx = ec.make_ctx(scene, backend, leaf_size)
     seg = _segment_for(n)
     ns = n // seg

@@ -64,8 +64,9 @@ import jax.numpy as jnp
 from .constants import EPS
 from .scene import SceneData
 from .ops import sampling
-from .engine import (BIG, REORDER_AUTO_MIN_TRIS, REORDER_POS_BITS,
-                     REORDER_SEGMENT)
+from .engine import BIG
+from .reorder import (REORDER_AUTO_MIN_TRIS, scene_bounds, segment_for,
+                      sort_key)
 from . import engine_common as ec
 
 
@@ -122,6 +123,8 @@ def run_iterations(scene: SceneData, ro, rd, state: WavefrontState,
     n = ro.shape[0]
     nw = scene.wavenumbers.shape[0]
     n_tris = scene.tri_shade.shape[0]
+    # sorted_intersect rides the hit index through an f32 plane
+    assert n_tris < (1 << 24), "float-exact idx pack needs T < 2^24"
     ctx = ec.make_ctx(scene, backend, leaf_size)
     intersect = ctx.intersect
     do_reorder = (ctx.on_pallas and ctx.backend in ("cluster", "shortlist",
@@ -147,37 +150,15 @@ def run_iterations(scene: SceneData, ro, rd, state: WavefrontState,
         ph_mat = ec.row(ctx, ph_attrs, "mat_type").astype(jnp.int32)
 
     if do_reorder:
-        ca = scene.cluster_aabbs
-        cvalid = (ca[:, 0] <= ca[:, 3])[:, None]
-        smin = jnp.min(jnp.where(cvalid, ca[:, 0:3], jnp.inf), axis=0)
-        smax = jnp.max(jnp.where(cvalid, ca[:, 3:6], -jnp.inf), axis=0)
-        inv_ext = 1.0 / jnp.maximum(smax - smin, 1e-6)
-        seg = n
-        for d in range(REORDER_SEGMENT // 1024, 0, -1):
-            if n % (1024 * d) == 0:
-                seg = 1024 * d
-                break
+        smin, inv_ext = scene_bounds(scene)
+        seg = segment_for(n)
 
         def sorted_intersect(ox, oy, oz, dx, dy, dz):
-            """Same segmented (octant, morton) reorder as engine.body."""
-            cells = 1 << REORDER_POS_BITS
-
-            def q(v, lo, ie):
-                return jnp.clip(((v - lo) * ie * cells).astype(jnp.int32),
-                                0, cells - 1)
-
-            qx = q(ox, smin[0], inv_ext[0])
-            qy = q(oy, smin[1], inv_ext[1])
-            qz = q(oz, smin[2], inv_ext[2])
-            m = jnp.zeros_like(qx)
-            for b in range(REORDER_POS_BITS):
-                m = (m | (((qx >> b) & 1) << (3 * b + 2))
-                     | (((qy >> b) & 1) << (3 * b + 1))
-                     | (((qz >> b) & 1) << (3 * b)))
-            octant = ((dx < 0).astype(jnp.int32) * 4
-                      + (dy < 0).astype(jnp.int32) * 2
-                      + (dz < 0).astype(jnp.int32))
-            key = (octant << (3 * REORDER_POS_BITS)) | m
+            """Same segmented (octant, morton) reorder as engine.body —
+            the key comes from the shared reorder.sort_key (the pool has
+            no parked rays here, so every ray is keyed live)."""
+            key = sort_key(ox, oy, oz, dx, dy, dz, jnp.bool_(True),
+                           smin, inv_ext, morton=True)
             ns = n // seg
             perm_l = jnp.argsort(key.reshape(ns, seg), axis=1,
                                  stable=True).astype(jnp.int32)

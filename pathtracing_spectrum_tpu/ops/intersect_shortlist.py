@@ -197,6 +197,25 @@ def _mxu_sweep_row(lhs, rhs_refs, r, mxu):
 # Stage 1: per-block group shortlists via interval arithmetic (plain XLA).
 # ---------------------------------------------------------------------------
 
+def root_bounds(cluster_aabbs):
+    """Scene root AABB (lo3, hi3) over the VALID cluster boxes (padded
+    clusters carry inverted never-hit boxes, excluded here)."""
+    cvalid = (cluster_aabbs[:, 0] <= cluster_aabbs[:, 3])[:, None]
+    lo = jnp.min(jnp.where(cvalid, cluster_aabbs[:, 0:3], jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(cvalid, cluster_aabbs[:, 3:6], -jnp.inf), axis=0)
+    return lo, hi
+
+
+def rays_with_exit_caps(rox, roy, roz, rdx, rdy, rdz, cluster_aabbs):
+    """The 7 ray component planes both hierarchical kernels consume:
+    (ro xyz, rd xyz, root-box slab-exit cap) — the cap construction is
+    a shared correctness-sensitive invariant (margin semantics, parked
+    rays), so it lives in exactly one place."""
+    lo, hi = root_bounds(cluster_aabbs)
+    cap = ray_exit_caps(rox, roy, roz, rdx, rdy, rdz, lo, hi)
+    return (rox, roy, roz, rdx, rdy, rdz, cap)
+
+
 def ray_exit_caps(rox, roy, roz, rdx, rdy, rdz, lo, hi,
                   margin: float = 1e-4):
     """Per-ray sweep cap: the slab EXIT t of the scene's root AABB.
@@ -308,13 +327,8 @@ def build_shortlists(rays, group_aabb, group_valid, block_rows: int = _RB):
     glo = gt[0:3][:, None, :]                                  # [3, 1, G]
     ghi = gt[3:6][:, None, :]
 
-    spans0 = (dlo <= 0.0) & (dhi >= 0.0)
-    sd_lo = jnp.where(spans0, 1.0, dlo)
-    sd_hi = jnp.where(spans0, 1.0, dhi)
-    q0lo, q0hi = _interval_quotient(glo - ohi, glo - olo, sd_lo, sd_hi)
-    q1lo, q1hi = _interval_quotient(ghi - ohi, ghi - olo, sd_lo, sd_hi)
-    enter = jnp.where(spans0, -BIG, jnp.minimum(q0lo, q1lo))  # [3, NB, G]
-    exit_ = jnp.where(spans0, BIG, jnp.maximum(q0hi, q1hi))
+    # _axis_interval broadcasts [3, NB, 1] x [3, 1, G] -> [3, NB, G]
+    enter, exit_ = _axis_interval(glo, ghi, olo, ohi, dlo, dhi)
     enter_lb = jnp.max(enter, axis=0)                         # [NB, G]
     exit_ub = jnp.min(exit_, axis=0)
 
@@ -537,14 +551,8 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
 
     block = sb * _RB * _LANES
     pad_n = (-n) % block
-    # root-box slab-exit sweep cap as a 7th ray plane (ray_exit_caps)
-    cvalid = (cluster_aabbs[:, 0] <= cluster_aabbs[:, 3])[:, None]
-    root_lo = jnp.min(jnp.where(cvalid, cluster_aabbs[:, 0:3], jnp.inf),
-                      axis=0)
-    root_hi = jnp.max(jnp.where(cvalid, cluster_aabbs[:, 3:6], -jnp.inf),
-                      axis=0)
-    cap = ray_exit_caps(rox, roy, roz, rdx, rdy, rdz, root_lo, root_hi)
-    comps = (rox, roy, roz, rdx, rdy, rdz, cap)
+    # root-box slab-exit sweep cap as a 7th ray plane
+    comps = rays_with_exit_caps(rox, roy, roz, rdx, rdy, rdz, cluster_aabbs)
     if pad_n:
         zeros = jnp.zeros((pad_n,), rox.dtype)
         comps = tuple(jnp.concatenate([c, zeros]) for c in comps)

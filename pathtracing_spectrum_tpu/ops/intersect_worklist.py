@@ -213,15 +213,10 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
 
     block = _RB * _LANES
     pad_n = (-n) % block
-    # root-box slab-exit sweep cap as a 7th ray plane (ray_exit_caps)
-    from .intersect_shortlist import ray_exit_caps
-    cvalid = (cluster_aabbs[:, 0] <= cluster_aabbs[:, 3])[:, None]
-    root_lo = jnp.min(jnp.where(cvalid, cluster_aabbs[:, 0:3], jnp.inf),
-                      axis=0)
-    root_hi = jnp.max(jnp.where(cvalid, cluster_aabbs[:, 3:6], -jnp.inf),
-                      axis=0)
-    cap = ray_exit_caps(rox, roy, roz, rdx, rdy, rdz, root_lo, root_hi)
-    comps = (rox, roy, roz, rdx, rdy, rdz, cap)
+    # root-box slab-exit sweep cap as a 7th ray plane (shared helper —
+    # both kernels must build the cap identically)
+    comps = isl.rays_with_exit_caps(rox, roy, roz, rdx, rdy, rdz,
+                                    cluster_aabbs)
     if pad_n:
         zeros = jnp.zeros((pad_n,), rox.dtype)
         comps = tuple(jnp.concatenate([c, zeros]) for c in comps)

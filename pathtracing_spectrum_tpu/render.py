@@ -398,9 +398,12 @@ class RenderSession:
 
         Samples are stepped ``batch`` at a time (one device dispatch each —
         per-dispatch tunnel latency is 6..900 ms, so per-sample stepping is
-        dominated by launch overhead). Jitter mode keeps its per-sample
-        semantics inside ``step``; the batching here is purely dispatch
-        grouping either way, so results are identical to ``run(..., batch=1)``.
+        dominated by launch overhead). Jitter mode batches too: ``step``
+        regenerates jittered rays in-dispatch (JitterCam) when the
+        sharding supports it, falling back to per-sample stepping
+        otherwise. Either way results are identical to
+        ``run(..., batch=1)`` (per-sample variates come from the same
+        counter schedule).
         """
         target = min(target_spp if target_spp is not None else self.target_spp,
                      MAX_TARGET_SPP)

@@ -1,0 +1,94 @@
+"""Bounce-ray reorder primitives shared by the engines.
+
+The lockstep engine (engine.py) and the compaction engine
+(engine_compact.py) must produce byte-identical sort keys, segment
+rules, and scene bounds — the compact engine's bit-identical-to-lockstep
+guarantee (pinned by tests/test_compact.py) rides on it. These
+primitives therefore live in exactly one place; the engines keep only
+how they *apply* the resulting permutations (the lockstep engine's
+forward+inverse segmented argsort vs the compact engine's prefix-sliced
+variants).
+
+Design notes (all measured on a v5e — see docs/tpu_cost_model.md):
+
+* Key = (dead bit, direction octant, origin morton cell). Octant first
+  because the shortlist kernels' interval slab test constrains nothing
+  on an axis whose direction bounds span 0; morton second so each
+  1024-ray block gets tight origin bounds. Dead rays key to the top
+  bucket so live rays compact to the front and fully-parked tail
+  blocks shortlist to zero groups.
+* Sorts run per SEGMENT, not globally: XLA's bitonic sort on a [S, L]
+  batch keeps each segment's network in VMEM (3.1 ms vs 30.4 ms for a
+  global 2M-key argsort), and a segment-local permutation lets the
+  inverse be another cheap segmented argsort instead of a scatter
+  (85 ms for a [2M, 4] row scatter).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .ops.intersect_shortlist import root_bounds
+
+# "auto" bounce-ray reorder: only above this triangle count. With the
+# segmented sort + packed row-gather application the reorder pays from a
+# couple thousand triangles up (1080p/2.2k tris: 1.95 -> 2.33 spp/s; 52k:
+# 2.9 -> 6.5); below ~1k the shortlist has almost nothing to cull and the
+# per-bounce sort is pure overhead.
+REORDER_AUTO_MIN_TRIS = 1024
+
+# Reorder key layout: morton bits per origin axis.
+REORDER_POS_BITS = 4
+
+# Segment size for the segmented sorts (64 blocks of 1024 rays). Rays
+# only move within their segment — dead-ray compaction and octant
+# grouping become per-segment, which block-level culling is equally
+# happy with.
+REORDER_SEGMENT = 65536
+
+
+def segment_for(n: int) -> int:
+    """Largest segment <= REORDER_SEGMENT dividing ``n`` in whole
+    1024-ray blocks; falls back to one global segment."""
+    for d in range(REORDER_SEGMENT // 1024, 0, -1):
+        if n % (1024 * d) == 0:
+            return 1024 * d
+    return n
+
+
+def scene_bounds(scene):
+    """(smin[3], 1/extent[3]) of the scene root box — the morton-cell
+    quantisation frame. Same root reduction as the kernels' sweep caps
+    (ops.intersect_shortlist.root_bounds)."""
+    smin, smax = root_bounds(scene.cluster_aabbs)
+    return smin, 1.0 / jnp.maximum(smax - smin, 1e-6)
+
+
+def sort_key(ox, oy, oz, dx, dy, dz, alive, smin, inv_ext, morton: bool):
+    """The engines' reorder key (see module docstring for the layout).
+
+    ``morton=False`` keeps only the dead bit (backends without block
+    culling gain nothing from coherence; the sort still compacts).
+    """
+    dead_bit = jnp.int32(1) << (3 * REORDER_POS_BITS + 3)
+    if not morton:
+        return jnp.where(alive, 0, dead_bit)
+    cells = 1 << REORDER_POS_BITS
+
+    def q(v, lo, ie):
+        return jnp.clip(((v - lo) * ie * cells).astype(jnp.int32),
+                        0, cells - 1)
+
+    qx = q(ox, smin[0], inv_ext[0])
+    qy = q(oy, smin[1], inv_ext[1])
+    qz = q(oz, smin[2], inv_ext[2])
+    m = jnp.zeros_like(qx)
+    for b in range(REORDER_POS_BITS):
+        m = (m | (((qx >> b) & 1) << (3 * b + 2))
+             | (((qy >> b) & 1) << (3 * b + 1))
+             | (((qz >> b) & 1) << (3 * b)))
+    octant = ((dx < 0).astype(jnp.int32) * 4
+              + (dy < 0).astype(jnp.int32) * 2
+              + (dz < 0).astype(jnp.int32))
+    key = (octant << (3 * REORDER_POS_BITS)) | m
+    return jnp.where(alive, key, dead_bit)

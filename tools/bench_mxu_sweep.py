@@ -113,12 +113,14 @@ def kernel_chain(sd, rays):
 
 
 def in_context(sc):
-    s = RenderSession(sc, seed=3, batch=SPP)
-    s.run(SPP)                                        # compile + warm
+    s = RenderSession(sc, seed=3)
+    s.run(SPP, batch=SPP)                             # compile + warm
+    assert s.samples == SPP
     t0 = time.perf_counter()
-    s.run(SPP)                                        # counters differ
-    img = np.asarray(s.result())                      # drain
+    s.run(2 * SPP, batch=SPP)    # timed: samples SPP -> 2*SPP (counters
+    img = np.asarray(s.result())                      # differ); drain
     dt = time.perf_counter() - t0
+    assert s.samples == 2 * SPP
     print(f"in-context [{isl._MXU_SWEEP or 'vpu'}]: {SPP / dt:.2f} spp/s "
           f"({dt:.3f}s for {SPP} spp)  mean={img.mean():.5f}", flush=True)
 
@@ -131,6 +133,12 @@ def main():
     print("bounce-1 rays ready", flush=True)
     kernel_chain(sd, rays)
     in_context(sc)
+    if os.environ.get("PTS_BENCH_1080P"):
+        # the other unmet target: textured 1080p (small-T dense-ish
+        # sweep — a different regime from the terrain's divergence tax)
+        sc2 = bs.textured_sphere_scene((1920, 1080))
+        print("textured 1080p:", flush=True)
+        in_context(sc2)
 
 
 if __name__ == "__main__":
