@@ -1,0 +1,74 @@
+"""Contract tests for the shared reorder primitives (reorder.py).
+
+The engines (engine.py / engine_compact.py / engine_wavefront.py) all
+consume these; byte-identical keys across engines are load-bearing for
+the compact engine's bit-identity guarantee (tests/test_compact.py pins
+the end-to-end identity — these pin the primitive-level contract).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pathtracing_spectrum_tpu.reorder import (REORDER_POS_BITS,
+                                              REORDER_SEGMENT, segment_for,
+                                              sort_key)
+
+
+def test_segment_for_divides_in_whole_blocks():
+    for n in (1024, 65536, 262144, 2073600, 1024 * 3, 4096 * 5):
+        seg = segment_for(n)
+        assert seg <= max(REORDER_SEGMENT, n)
+        assert n % seg == 0
+        if n % 1024 == 0:
+            assert seg % 1024 == 0
+    # no 1024-block divisor -> one global segment
+    assert segment_for(1000) == 1000
+
+
+def test_sort_key_dead_rays_sort_last_and_octant_dominates():
+    rng = np.random.default_rng(3)
+    n = 512
+    o = [jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+         for _ in range(3)]
+    d = [jnp.asarray(rng.normal(0, 1, n).astype(np.float32))
+         for _ in range(3)]
+    alive = jnp.asarray(rng.uniform(0, 1, n) < 0.6)
+    smin = jnp.zeros(3, jnp.float32)
+    inv_ext = jnp.ones(3, jnp.float32)
+    key = np.asarray(sort_key(*o, *d, alive, smin, inv_ext, morton=True))
+    al = np.asarray(alive)
+    # every dead key strictly above every live key (dead bit is the MSB
+    # of the used range)
+    assert key[al].max() < key[~al].min()
+    # octant bits sit above ALL morton bits: flipping one direction sign
+    # moves the key more than any origin change can
+    k_oct = np.asarray(sort_key(*o, -d[0], d[1], d[2], alive, smin,
+                                inv_ext, morton=True))
+    both = al & (np.asarray(d[0]) != 0)
+    assert (np.abs(k_oct[both].astype(np.int64) - key[both])
+            >= (1 << (3 * REORDER_POS_BITS - 1))).all()
+
+
+def test_sort_key_morton_false_keeps_only_dead_bit():
+    n = 64
+    z = jnp.zeros(n, jnp.float32)
+    alive = jnp.asarray(np.arange(n) % 2 == 0)
+    key = np.asarray(sort_key(z, z, z, z, z, z, alive, jnp.zeros(3),
+                              jnp.ones(3), morton=False))
+    assert set(np.unique(key[np.asarray(alive)])) == {0}
+    assert set(np.unique(key[~np.asarray(alive)])) == \
+        {1 << (3 * REORDER_POS_BITS + 3)}
+
+
+def test_engines_share_the_same_key_function():
+    """The three engines must literally reference reorder.sort_key —
+    a re-implementation sneaking back in would defeat the consolidation
+    (byte-identity across engines is the point)."""
+    import pathtracing_spectrum_tpu.engine as eng
+    import pathtracing_spectrum_tpu.engine_compact as ecmp
+    import pathtracing_spectrum_tpu.engine_wavefront as ew
+    from pathtracing_spectrum_tpu import reorder
+    assert eng.sort_key is reorder.sort_key
+    assert ecmp._sort_key is reorder.sort_key
+    assert ew.sort_key is reorder.sort_key
+    assert eng.segment_for is ecmp._segment_for is reorder.segment_for
