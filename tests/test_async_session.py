@@ -3,12 +3,14 @@
 import time
 
 import numpy as np
+import pytest
 
 from pathtracing_spectrum_tpu.render import RenderSession, RenderStatus
 
 from scene_helpers import cornell_scene
 
 
+@pytest.mark.slow
 def test_start_async_reaches_target_and_pauses():
     s = RenderSession(cornell_scene(depth=1, res=(8, 8)), backend="dense")
     s.start_async(target_spp=3)

@@ -68,6 +68,7 @@ def test_cluster_kernel_matches_dense(t):
     assert diff.mean() < 0.02
 
 
+@pytest.mark.slow
 def test_cluster_engine_backend_matches_dense_cornell():
     """Full engine: cluster backend (interpret off CPU path is jnp-only, so
     drive the kernel directly through trace via monkeypatched interpret)."""

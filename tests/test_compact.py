@@ -66,6 +66,7 @@ def test_interleave_blocks_round_robin():
     assert interleave_blocks(1000) is None
 
 
+@pytest.mark.slow
 def test_empty_schedule_bit_identical_to_lockstep():
     sc, sd, ro, rd, t0, s0 = _trace_inputs(16)
     key = jax.random.key(0)

@@ -33,6 +33,7 @@ def test_cauchy_curve_baked():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dispersion_unbiased_on_glass_free_scene():
     sc = cornell_scene(depth=2, res=(8, 8))
     scene = sc.compile()

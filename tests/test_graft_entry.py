@@ -22,6 +22,7 @@ def test_dryrun_multichip_subprocess_8():
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_survives_hostile_env(monkeypatch):
     # Even if the parent env pins a TPU-ish platform and a conflicting
     # host-device-count flag, the wrapper must scrub/override both.

@@ -51,6 +51,7 @@ def test_tile_sharding_matches_single_chip(eight_devices):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_spp_allreduce_step(eight_devices):
     sc = cornell_scene(depth=2, res=(8, 8))
     scene = sc.compile()

@@ -107,6 +107,7 @@ def test_shortlists_are_conservative():
         assert not missing, f"block {b} shortlist missing groups {missing}"
 
 
+@pytest.mark.slow
 def test_engine_shortlist_backend_matches_dense():
     from scene_helpers import cornell_scene
     from pathtracing_spectrum_tpu import camera_rays
@@ -149,6 +150,7 @@ def test_reorder_is_bit_identical():
     assert int(a.rays_traced) == int(b.rays_traced)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("knob,val,rtol", [
     ("_EARLY_EXIT", True, 1e-4), ("_ROW_CULL", True, 1e-4),
     ("mxu", "bf16x3", 1e-3), ("mxu", "f32x6", 1e-4)])

@@ -37,6 +37,7 @@ def test_worklist_matches_bruteforce(T, N):
     _check_equal(geo, tri16, caabb, *_rays(N), bpb=iwl.BUDGET_PER_BLOCK)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("scheme", ["bf16x3", "f32x6"])
 def test_worklist_mxu_sweep_matches_bruteforce(scheme):
     """The MXU sweep knob must hold selection-identical through the
@@ -69,6 +70,7 @@ def test_worklist_partial_budget_stays_exact():
     _check_equal(geo, tri16, caabb, ro, rd, bpb=3)
 
 
+@pytest.mark.slow
 def test_engine_worklist_backend_matches_dense():
     from scene_helpers import cornell_scene
     from pathtracing_spectrum_tpu import camera_rays
@@ -88,6 +90,7 @@ def test_engine_worklist_backend_matches_dense():
                                np.asarray(b.radiance), rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_engine_hier_backend_matches_dense():
     """'hier' (the TPU auto choice) resolves shortlist-vs-worklist by the
     SMEM-budget regime at trace time; either way it must match dense."""
