@@ -49,18 +49,22 @@ GROUP_T = KC * CLUSTER      # triangles per group (DMA unit, 64 KiB)
 # side per-cluster/per-row culling), keeping SMEM bounded at any scale.
 _SMEM_SHORTLIST_BYTES = 256 * 1024
 
-# Tuning knobs (trace-time; benchmark sweeps patch these per process).
+# Tuning knobs (trace-time; benchmark sweeps patch these per process, or
+# set PTS_EARLY_EXIT=1 / PTS_ROW_CULL=1 to flip a fresh process without
+# repo edits — both schemes are exact-match, pinned by the knob tests).
 # Front-to-back group early exit on best-t: exact-match correct but measured
 # a small NET LOSS on v5e (52k terrain 3.93 vs 4.15 spp/s; 1080p 1.586 vs
 # 1.605) — the per-step scalar reduce + SMEM compare costs more than the
 # skipped groups save once the shortlist is already short. Off by default.
-_EARLY_EXIT = False
+_EARLY_EXIT = os.environ.get("PTS_EARLY_EXIT") == "1"
 # Per-row (128-ray) cluster culling: exact-match correct, but measured a
 # NET LOSS on v5e (1080p textured: 0.94 vs 1.61 spp/s; 52k terrain: 3.88
 # vs 4.15) — the 8 extra pl.when branches per cluster stall the unrolled
 # vector pipeline for longer than the skipped sweeps take. Kept as an off-
-# by-default knob; re-evaluate on hardware with cheaper scalar branches.
-_ROW_CULL = False
+# by-default knob; re-evaluate on hardware with cheaper scalar branches
+# (under the MXU sweep a culled row skips a whole matmul, a different
+# trade than the VPU 40-op sweep it was measured against).
+_ROW_CULL = os.environ.get("PTS_ROW_CULL") == "1"
 # MXU sweep: compute ALL 8 ray.K dot-product families of the triangle
 # predicate as ONE [CLUSTER, 16] x [16, 8*LANES] matmul per (row,
 # cluster) — the VPU sweep (~40 broadcast ops) is the measured wall on
