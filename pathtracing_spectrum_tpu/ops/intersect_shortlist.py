@@ -39,7 +39,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .intersect_pallas import BIG, CLUSTER, _LANES, _slab_block
 
-_RB = 8                     # ray rows per block (block = 8 x 128 = 1024 rays)
+# Ray rows per kernel block (block = _RB x 128 rays). 8 is the f32 tile
+# height (the floor Mosaic can address) and the measured default; PTS_RB
+# (16/32, fresh process) trades looser per-block shortlist bounds against
+# fewer grid steps and, under the MXU sweep, amortizing each cluster's
+# lhs operand split over more row matmuls. Exact-match for any value
+# (hit selection is per-ray; pinned by the knob equivalence test).
+_RB = int(os.environ.get("PTS_RB", "8"))
+if _RB < 8 or (_RB & (_RB - 1)) or _RB > 256:
+    raise ValueError(f"PTS_RB={_RB}: expected a power of two in [8, 256]")
 KC = 8                      # clusters per group
 GROUP_T = KC * CLUSTER      # triangles per group (DMA unit, 64 KiB)
 

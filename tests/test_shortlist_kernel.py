@@ -153,6 +153,7 @@ def test_reorder_is_bit_identical():
 @pytest.mark.slow
 @pytest.mark.parametrize("knob,val,rtol", [
     ("_EARLY_EXIT", True, 1e-4), ("_ROW_CULL", True, 1e-4),
+    ("_RB", 16, 1e-4),
     ("mxu", "bf16x3", 1e-3), ("mxu", "f32x6", 1e-4)])
 def test_knob_variants_match_bruteforce(knob, val, rtol):
     """The off-by-default culling knobs must stay selection-identical —
