@@ -30,13 +30,30 @@ import jax.numpy as jnp
 import numpy as np
 
 ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
+OUT_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_SUITE.json")
 RESULTS = []
+_T0 = time.time()
+
+
+def _write_results(partial: bool):
+    payload = {"elapsed_s": round(time.time() - _T0, 1),
+               "device": str(jax.devices()[0]),
+               "results": RESULTS}
+    if partial:
+        payload["partial"] = True   # suite still running (or died mid-way)
+    with open(OUT_JSON, "w") as f:
+        json.dump(payload, f, indent=2)
 
 
 def report(name, **kv):
     entry = {"config": name, **kv}
     RESULTS.append(entry)
     print(json.dumps(entry), flush=True)
+    # The measurement device sits behind a tunnel that dies for hours at a
+    # time (see CLAUDE.md): flush completed configs to disk immediately so
+    # a mid-suite outage cannot lose them.
+    _write_results(partial=True)
 
 
 def _session(scene, **kw):
@@ -371,7 +388,6 @@ def _terrain_agreement(sc, res=64):
 
 
 def main():
-    t0 = time.time()
     for fn in (config1_cornell, config2_dispersion, config3_textured_1080p,
                config4_mixed_depth8, config5_multichip_4k,
                config6_large_scenes):
@@ -379,13 +395,8 @@ def main():
             fn()
         except Exception as e:  # keep the suite running; record the failure
             report(fn.__name__, error=f"{type(e).__name__}: {e}")
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "BENCH_SUITE.json")
-    with open(out, "w") as f:
-        json.dump({"elapsed_s": round(time.time() - t0, 1),
-                   "device": str(jax.devices()[0]),
-                   "results": RESULTS}, f, indent=2)
-    print(f"wrote {out}")
+    _write_results(partial=False)
+    print(f"wrote {OUT_JSON}")
 
 
 if __name__ == "__main__":

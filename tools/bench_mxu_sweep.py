@@ -90,13 +90,15 @@ def kernel_chain(sd, rays):
     tri16 = pack_tri16(sd.tri_face_n, sd.tri_k1, sd.tri_k2, sd.tri_k3,
                        sd.tri_consts)
     ca = sd.cluster_aabbs
+    # interpret mode off TPU so the tool itself is smoke-testable on CPU
+    interp = jax.devices()[0].platform.lower() not in ("tpu", "axon")
 
     @jax.jit
     def run(rox, roy, roz, rdx, rdy, rdz):
         def it(i, carry):
             rox, roy, roz, acc = carry
             hit, t, _, _, _ = isl.intersect_shortlist_pallas_soa(
-                rox, roy, roz, rdx, rdy, rdz, tri16, ca)
+                rox, roy, roz, rdx, rdy, rdz, tri16, ca, interpret=interp)
             tt = jnp.where(hit, t, 0.0)
             s = jnp.float32(1e-5) * (1.0 + 1e-3 * i)
             return (rox + s * tt * rdx, roy + s * tt * rdy,
