@@ -102,6 +102,18 @@ _MXU_SWEEP = os.environ.get("PTS_MXU_SWEEP") or None
 if _MXU_SWEEP not in _MXU_SCHEMES:
     raise ValueError(f"PTS_MXU_SWEEP={_MXU_SWEEP!r}: "
                      "expected bf16, bf16x3 or f32x6")
+# K-fused multi-pass schemes (default ON): the MXU is a 128x128 systolic
+# array, so a K=16 contraction leaves 7/8 of it idle — the bf16x3/f32x6
+# passes concatenate their operand splits along K instead (K=48/96, both
+# <=128) and issue ONE dot_general per (row, cluster). Same products,
+# same f32 accumulation, ~pass-count-fold fewer MXU invocations; the
+# only numerical difference is summation order (the schemes are already
+# not bit-identical to the VPU path, and the per-scheme error bounds are
+# order-independent — pinned by the scale tests). PTS_MXU_FUSEK=0 falls
+# back to the separate-pass form in case Mosaic rejects the wider K.
+_MXU_FUSE_K = os.environ.get("PTS_MXU_FUSEK", "1") != "0"
+# contraction width per scheme in the fused form
+_MXU_K = {"bf16": 16, "bf16x3": 48, "f32x6": 96}
 
 
 def resolve_mxu(mxu):
@@ -119,19 +131,32 @@ def resolve_mxu(mxu):
 # MXU sweep helpers — shared by the shortlist and worklist kernels.
 # ---------------------------------------------------------------------------
 
-def mxu_scratch_shapes(rows: int):
-    """bf16 hi/mid/lo chunk buffers for the per-row matmul rhs."""
+def mxu_num_scratch(mxu) -> int:
+    """Number of VMEM rhs scratch buffers the scheme needs (kernels use
+    it to split their trailing scratch refs off the positional args)."""
+    if not mxu:
+        return 0
+    return 1 if _MXU_FUSE_K else 3
+
+
+def mxu_scratch_shapes(rows: int, mxu):
+    """VMEM rhs buffers: K-fused — ONE [rows*K', 8*LANES] buffer holding
+    each row's pre-concatenated split stack (K' = 16/48/96); separate-
+    pass fallback — bf16 hi/mid/lo chunk buffers."""
+    if _MXU_FUSE_K:
+        return [pltpu.VMEM((rows * _MXU_K[mxu], 8 * _LANES), jnp.bfloat16)]
     return [pltpu.VMEM((rows * 16, 8 * _LANES), jnp.bfloat16)] * 3
 
 
-def _mxu_build_rhs(ray_ref, rows, rhs_hi_ref, rhs_mid_ref, rhs_lo_ref):
-    """Build the per-row [16, 8*LANES] matmul rhs once per ray block
-    (reused across every streamed group): rhs row k carries the
-    coefficient that multiplies tri16 column k, so out = tri16_cluster
-    @ rhs yields the 8 lane-aligned column groups (n.ro-c0 | n.rd |
-    k1.ro-c1 | k1.rd | ...). Stored pre-split into bf16 hi/mid/lo
-    chunks (hi = the 1-pass operand, hi+mid = 2-way split, all three =
-    the exact 3-way split of f32)."""
+def _mxu_build_rhs(ray_ref, rows, rhs_refs, mxu):
+    """Build the per-row matmul rhs once per ray block (reused across
+    every streamed group): rhs row k carries the coefficient that
+    multiplies tri16 column k, so out = tri16_cluster @ rhs yields the
+    8 lane-aligned column groups (n.ro-c0 | n.rd | k1.ro-c1 | k1.rd |
+    ...). Split into bf16 chunks (hi = the 1-pass operand, hi+mid =
+    2-way split, all three = the exact 3-way split of f32); the K-fused
+    layout stacks each row's scheme-ordered chunks contiguously so the
+    sweep issues one [CLUSTER, K'] @ [K', 8*LANES] matmul per row."""
     z = jnp.zeros((1, _LANES), jnp.float32)
     m1 = -jnp.ones((1, _LANES), jnp.float32)
     for r in range(rows):
@@ -152,49 +177,78 @@ def _mxu_build_rhs(ray_ref, rows, rhs_hi_ref, rhs_mid_ref, rhs_lo_ref):
         hi = rhs.astype(jnp.bfloat16)
         r1 = rhs - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        rhs_hi_ref[r * 16:(r + 1) * 16, :] = hi
-        rhs_mid_ref[r * 16:(r + 1) * 16, :] = mid
-        rhs_lo_ref[r * 16:(r + 1) * 16, :] = lo
+        if not _MXU_FUSE_K:
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            rhs_hi_ref, rhs_mid_ref, rhs_lo_ref = rhs_refs
+            rhs_hi_ref[r * 16:(r + 1) * 16, :] = hi
+            rhs_mid_ref[r * 16:(r + 1) * 16, :] = mid
+            rhs_lo_ref[r * 16:(r + 1) * 16, :] = lo
+            continue
+        (rhs_ref,) = rhs_refs
+        kp = _MXU_K[mxu]
+        # stack order pairs with _mxu_lhs_chunks' lhs concatenation
+        if mxu == "bf16":
+            stack = [hi]
+        elif mxu == "bf16x3":
+            stack = [mid, hi, hi]               # vs [l_hi | l_mid | l_hi]
+        else:   # "f32x6"
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            stack = [lo, mid, hi, mid, hi, hi]  # vs [hi|mid|lo|hi|mid|hi]
+        rhs_ref[r * kp:(r + 1) * kp, :] = jnp.concatenate(stack, axis=0)
 
 
-def _mxu_lhs_chunks(tri_ref, base):
-    """bf16 hi/mid/lo split of the [CLUSTER, 16] tri16 block slice
-    (hoisted out of the row loop — one split per cluster)."""
+def _mxu_lhs_chunks(tri_ref, base, mxu):
+    """bf16 split of the [CLUSTER, 16] tri16 block slice, hoisted out of
+    the row loop (one split per cluster): K-fused — the scheme's chunk
+    sequence concatenated along K; fallback — the (hi, mid, lo) triple."""
     trif = tri_ref[base:base + CLUSTER, :]
     l_hi = trif.astype(jnp.bfloat16)
     t1 = trif - l_hi.astype(jnp.float32)
     l_mid = t1.astype(jnp.bfloat16)
+    if not _MXU_FUSE_K:
+        l_lo = (t1 - l_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return l_hi, l_mid, l_lo
+    if mxu == "bf16":
+        return l_hi
+    if mxu == "bf16x3":
+        return jnp.concatenate([l_hi, l_mid, l_hi], axis=1)
     l_lo = (t1 - l_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return l_hi, l_mid, l_lo
+    return jnp.concatenate([l_hi, l_mid, l_lo, l_hi, l_mid, l_hi], axis=1)
 
 
 def _mxu_sweep_row(lhs, rhs_refs, r, mxu):
-    """ONE [CLUSTER, 16] @ [16, 8*LANES] matmul for ray row r -> the
-    triangle predicate terms (denom, t, s1, s2, s3), each [CLUSTER,
-    LANES]. Manual bf16-split passes (native bf16xbf16->f32 MXU,
-    DEFAULT precision), summed smallest-magnitude first."""
-    l_hi, l_mid, l_lo = lhs
-    rhs_hi_ref, rhs_mid_ref, rhs_lo_ref = rhs_refs
+    """The triangle predicate terms (denom, t, s1, s2, s3) for ray row
+    r, each [CLUSTER, LANES], from native bf16xbf16->f32 MXU matmuls
+    (DEFAULT precision). K-fused: ONE [CLUSTER, K'] @ [K', 8*LANES]
+    dot_general — all split products accumulate in the MXU's f32
+    accumulator. Fallback: one [CLUSTER, 16] @ [16, 8*LANES] pass per
+    split pair, summed smallest-magnitude first."""
     L = _LANES
-    sl16 = slice(r * 16, (r + 1) * 16)
 
     def mm(a, b):
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    rhi = rhs_hi_ref[sl16, :]
-    if mxu == "bf16":
-        out = mm(l_hi, rhi)
-    elif mxu == "bf16x3":
-        rmid = rhs_mid_ref[sl16, :]
-        out = mm(l_hi, rmid) + mm(l_mid, rhi) + mm(l_hi, rhi)
-    else:   # "f32x6"
-        rmid = rhs_mid_ref[sl16, :]
-        rlo = rhs_lo_ref[sl16, :]
-        out = ((mm(l_hi, rlo) + mm(l_mid, rmid) + mm(l_lo, rhi))
-               + (mm(l_hi, rmid) + mm(l_mid, rhi)) + mm(l_hi, rhi))
+    if _MXU_FUSE_K:
+        (rhs_ref,) = rhs_refs
+        kp = _MXU_K[mxu]
+        out = mm(lhs, rhs_ref[r * kp:(r + 1) * kp, :])
+    else:
+        l_hi, l_mid, l_lo = lhs
+        rhs_hi_ref, rhs_mid_ref, rhs_lo_ref = rhs_refs
+        sl16 = slice(r * 16, (r + 1) * 16)
+        rhi = rhs_hi_ref[sl16, :]
+        if mxu == "bf16":
+            out = mm(l_hi, rhi)
+        elif mxu == "bf16x3":
+            rmid = rhs_mid_ref[sl16, :]
+            out = mm(l_hi, rmid) + mm(l_mid, rhi) + mm(l_hi, rhi)
+        else:   # "f32x6"
+            rmid = rhs_mid_ref[sl16, :]
+            rlo = rhs_lo_ref[sl16, :]
+            out = ((mm(l_hi, rlo) + mm(l_mid, rmid) + mm(l_lo, rhi))
+                   + (mm(l_hi, rmid) + mm(l_mid, rhi)) + mm(l_hi, rhi))
     denom = out[:, 1 * L:2 * L]
     safe = jnp.where(denom == 0.0, 1.0, denom)
     # group 0 is n.ro - c0, so t = -(group0)/denom
@@ -378,7 +432,9 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu):
     if _EARLY_EXIT:
         tnear_ref, *refs = refs
     if mxu:
-        *refs, rhs_hi_ref, rhs_mid_ref, rhs_lo_ref = refs
+        ns = mxu_num_scratch(mxu)
+        rhs_refs = tuple(refs[len(refs) - ns:])
+        refs = refs[:len(refs) - ns]
     (ray_ref, tri_ref, aabb_ref,
      best_t_ref, best_i_ref, best_s2_ref, best_s3_ref) = refs
     i = pl.program_id(0) // sb      # shortlist (super-)block index
@@ -391,8 +447,7 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu):
         best_s2_ref[:] = jnp.zeros_like(best_s2_ref)
         best_s3_ref[:] = jnp.zeros_like(best_s3_ref)
         if mxu:
-            _mxu_build_rhs(ray_ref, rows,
-                           rhs_hi_ref, rhs_mid_ref, rhs_lo_ref)
+            _mxu_build_rhs(ray_ref, rows, rhs_refs, mxu)
 
     # Front-to-back early exit: the shortlist is sorted by the group's
     # entry-t lower bound, so once that bound strictly exceeds the worst
@@ -452,7 +507,7 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu):
                 if mxu:
                     # matmul lhs IS the tri16 block: [CLUSTER, 16] with
                     # K-vectors in cols 0:12 and c0..c3 in cols 12:16
-                    lhs = _mxu_lhs_chunks(tri_ref, base)
+                    lhs = _mxu_lhs_chunks(tri_ref, base, mxu)
                 else:
                     nx = tri_ref[base:base + CLUSTER, 0:1]
                     ny = tri_ref[base:base + CLUSTER, 1:2]
@@ -476,8 +531,7 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu):
                     def _row_body(r=r):
                         if mxu:
                             denom, t, s1, s2, s3 = _mxu_sweep_row(
-                                lhs, (rhs_hi_ref, rhs_mid_ref, rhs_lo_ref),
-                                r, mxu)
+                                lhs, rhs_refs, r, mxu)
                         else:
                             rox = ray_ref[0, r:r + 1, :]
                             roy = ray_ref[1, r:r + 1, :]
@@ -629,7 +683,7 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
         out_specs=[out_spec] * 4,
         # bf16 hi/mid/lo chunks of the per-row matmul rhs, built once
         # per ray block at j == 0 (persist across the shortlist walk)
-        scratch_shapes=mxu_scratch_shapes(_RB) if mxu else [],
+        scratch_shapes=mxu_scratch_shapes(_RB, mxu) if mxu else [],
     )
     best_t, best_i, best_s2, best_s3 = pl.pallas_call(
         functools.partial(_sl_kernel, rows=_RB, kc=KC, sb=sb, mxu=mxu),

@@ -83,7 +83,7 @@ def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
         if mxu:
             # the worklist is block-major, so the per-block matmul rhs
             # built at each first visit stays valid until the next one
-            isl._mxu_build_rhs(ray_ref, rows, *scratch)
+            isl._mxu_build_rhs(ray_ref, rows, scratch, mxu)
 
     @pl.when(wl_active_ref[w] != 0)
     def _():
@@ -112,7 +112,7 @@ def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
             def _(c=c):
                 base = c * CLUSTER
                 if mxu:
-                    lhs = isl._mxu_lhs_chunks(tri_ref, base)
+                    lhs = isl._mxu_lhs_chunks(tri_ref, base, mxu)
                 else:
                     nx = tri_ref[base:base + CLUSTER, 0:1]
                     ny = tri_ref[base:base + CLUSTER, 1:2]
@@ -281,7 +281,7 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
             out_specs=[out_spec] * 4,
             # bf16 rhs chunks for the MXU sweep, rebuilt at each block's
             # first visit (worklist entries are block-major)
-            scratch_shapes=(isl.mxu_scratch_shapes(_RB)
+            scratch_shapes=(isl.mxu_scratch_shapes(_RB, mxu)
                             if mxu else []),
         )
         return pl.pallas_call(

@@ -193,6 +193,39 @@ def test_knob_variants_match_bruteforce(knob, val, rtol):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("scheme", ["bf16x3", "f32x6"])
+def test_mxu_unfused_fallback_matches_bruteforce(scheme):
+    """PTS_MXU_FUSEK=0 (separate K=16 passes, summed smallest-first) is
+    the fallback if Mosaic ever rejects the K-fused 48/96 contraction —
+    it must stay selection-identical to brute force like the fused
+    default the other mxu tests pin."""
+    geo, tri16, caabb = _soup(700, seed=8)
+    v1, e1, e2, fn, k1, k2, k3, consts = geo
+    ro, rd = _rays(1024, seed=9)
+    h0, t0, i0, _, _ = intersect_bruteforce(
+        jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(fn), jnp.asarray(k1),
+        jnp.asarray(k2), jnp.asarray(k3), jnp.asarray(consts))
+    old = isl._MXU_FUSE_K
+    try:
+        isl._MXU_FUSE_K = False
+        jax.clear_caches()
+        h1, t1, i1, _, _ = isl.intersect_shortlist_pallas_soa(
+            *(jnp.asarray(ro[:, k]) for k in range(3)),
+            *(jnp.asarray(rd[:, k]) for k in range(3)),
+            tri16, caabb, interpret=True, mxu=scheme)
+    finally:
+        isl._MXU_FUSE_K = old
+        jax.clear_caches()
+    h0, h1 = np.asarray(h0), np.asarray(h1)
+    np.testing.assert_array_equal(h0, h1)
+    m = h0
+    np.testing.assert_allclose(np.asarray(t0)[m], np.asarray(t1)[m],
+                               rtol=(1e-3 if scheme == "bf16x3" else 1e-4),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i0)[m], np.asarray(i1)[m])
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("scheme,scale,max_flips", [
     ("bf16x3", 1e-2, 2), ("bf16x3", 1e3, 2),
     ("f32x6", 1e-2, 0), ("f32x6", 1e3, 0)])

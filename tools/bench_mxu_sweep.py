@@ -129,6 +129,9 @@ def in_context(sc):
 
 def main():
     print("devices:", jax.devices(), flush=True)
+    print(f"scheme={isl._MXU_SWEEP or 'vpu'} fused_k={isl._MXU_FUSE_K} "
+          f"rb={isl._RB} row_cull={isl._ROW_CULL} "
+          f"early_exit={isl._EARLY_EXIT}", flush=True)
     sc = bs.terrain_scene((RES, RES), OBJ)
     sd = sc.compile()
     rays = bounce1_rays(sc, sd, RES, RES)
