@@ -178,21 +178,42 @@ def _texture_flags(scene: SceneData):
             scene.temp_grids.shape[0] > 0)
 
 
+def sweep_policy(backend: str, on_tpu: bool | None = None):
+    """Resolve the (mxu scheme, row_cull) pair for the hierarchical
+    kernels. Measured production default (v5e 2026-08-18, loop-carried
+    chains at 246k tris — docs/tpu_cost_model.md "Hardware verdict"):
+    the K-fused f32x6 MXU sweep + per-row culling, worth +37% in-context
+    (2.72 vs 1.98 spp/s at 246k; 80.2 vs 112.4 ms/call on the kernel
+    chain). f32x6 is f32-ulp-faithful — hit/idx selection is identical
+    to the VPU sweep (pinned by tests), only last-ulp t differs — so it
+    is safe as a default; row culling only pays when a culled row skips
+    a whole matmul, so it follows the mxu decision. Env overrides always
+    win: PTS_MXU_SWEEP (set-but-empty = force the VPU sweep) and
+    PTS_ROW_CULL. Off-TPU (CPU tests, interpret mode) keeps the VPU
+    sweep and its bit-identity with the dense kernel."""
+    if backend not in ("shortlist", "worklist", "hier"):
+        return None, False
+    if on_tpu is None:
+        on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
+    from .ops import intersect_shortlist as isl
+    if "PTS_MXU_SWEEP" in os.environ:
+        mxu = isl._MXU_SWEEP
+    else:
+        mxu = "f32x6" if on_tpu else None
+    if "PTS_ROW_CULL" in os.environ:
+        row_cull = isl._ROW_CULL
+    else:
+        row_cull = mxu is not None and on_tpu
+    return mxu, row_cull
+
+
 def make_intersector(scene: SceneData, backend: str, leaf_size: int = 4):
     """Resolve the backend and return ``intersect(ox..dz) -> (hit, t, idx,
     s2, s3)`` over [N] component planes. Shared by the per-bounce loop and
     the primary-hit hoist in :func:`render_samples`."""
     n_tris = scene.tri_shade.shape[0]
     backend = resolve_backend(backend, n_tris=n_tris)
-    # MXU sweep scheme policy for the hierarchical kernels. The env var
-    # (PTS_MXU_SWEEP, incl. set-but-empty = force off) always wins; the
-    # measured default is OFF until the hardware run in
-    # docs/tpu_cost_model.md records a win (the schemes are
-    # value-faithful but not bit-identical to the VPU sweep).
-    if "PTS_MXU_SWEEP" in os.environ:
-        from .ops.intersect_shortlist import _MXU_SWEEP as mxu
-    else:
-        mxu = None
+    mxu, row_cull = sweep_policy(backend)
     tri16 = (pack_tri16(scene.tri_face_n, scene.tri_k1, scene.tri_k2,
                         scene.tri_k3, scene.tri_consts)
              if backend in ("dense_pallas", "cluster", "shortlist",
@@ -230,7 +251,7 @@ def make_intersector(scene: SceneData, backend: str, leaf_size: int = 4):
             interp = jax.devices()[0].platform.lower() not in ("tpu", "axon")
             return intersect_shortlist_pallas_soa(
                 ox, oy, oz, dx, dy, dz, tri16, scene.cluster_aabbs,
-                interpret=interp, mxu=mxu)
+                interpret=interp, mxu=mxu, row_cull=row_cull)
         if backend == "cluster":
             return intersect_clustered_pallas_soa(
                 ox, oy, oz, dx, dy, dz, tri16, scene.cluster_aabbs)

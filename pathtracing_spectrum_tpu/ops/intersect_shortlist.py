@@ -65,14 +65,26 @@ _SMEM_SHORTLIST_BYTES = 256 * 1024
 # 1.605) — the per-step scalar reduce + SMEM compare costs more than the
 # skipped groups save once the shortlist is already short. Off by default.
 _EARLY_EXIT = os.environ.get("PTS_EARLY_EXIT") == "1"
-# Per-row (128-ray) cluster culling: exact-match correct, but measured a
-# NET LOSS on v5e (1080p textured: 0.94 vs 1.61 spp/s; 52k terrain: 3.88
-# vs 4.15) — the 8 extra pl.when branches per cluster stall the unrolled
-# vector pipeline for longer than the skipped sweeps take. Kept as an off-
-# by-default knob; re-evaluate on hardware with cheaper scalar branches
-# (under the MXU sweep a culled row skips a whole matmul, a different
-# trade than the VPU 40-op sweep it was measured against).
+# Per-row (128-ray) cluster culling: exact-match correct; its value
+# depends on the sweep backend. Under the VPU sweep it is a NET LOSS on
+# v5e (1080p textured: 0.94 vs 1.61 spp/s; 52k terrain: 3.88 vs 4.15 —
+# the 8 extra pl.when branches per cluster stall the unrolled vector
+# pipeline for longer than the skipped sweeps take), but under the
+# K-fused MXU sweep a culled row skips an ENTIRE [CLUSTER,96]x[96,128]
+# matmul and it flips to a WIN (80.2 vs 89.4 ms/call at 246k tris,
+# v5e 2026-08-18 — docs/tpu_cost_model.md). Selected per call via the
+# kernel's static ``row_cull=`` argument; the engine's policy
+# (engine.sweep_policy) turns it on exactly when the MXU sweep is on.
+# PTS_ROW_CULL overrides per process (the "env" sentinel reads it).
 _ROW_CULL = os.environ.get("PTS_ROW_CULL") == "1"
+
+
+def resolve_row_cull(row_cull):
+    """Resolve a kernel ``row_cull=`` argument: the "env" sentinel defers
+    to PTS_ROW_CULL (module flag, so tests can patch it)."""
+    if row_cull == "env":
+        return _ROW_CULL
+    return bool(row_cull)
 # MXU sweep: compute ALL 8 ray.K dot-product families of the triangle
 # predicate as ONE [CLUSTER, 16] x [16, 8*LANES] matmul per (row,
 # cluster) — the VPU sweep (~40 broadcast ops) is the measured wall on
@@ -424,7 +436,7 @@ def build_shortlists(rays, group_aabb, group_valid, block_rows: int = _RB):
 # ---------------------------------------------------------------------------
 
 
-def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu):
+def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu, row_cull):
     # tnear rides as a third prefetch array ONLY when the early-exit knob
     # is on — prefetch args are copied to SMEM whether read or not (they
     # are pallas_call operands, invisible to XLA DCE), so the unused array
@@ -498,7 +510,7 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu):
             # reordering, rows are coherent 128-ray subgroups, so rows that
             # provably miss this cluster skip its 128-triangle sweep.
             # int32, not bool: Mosaic can only extract 32-bit scalars.
-            row_any = (jnp.any(slab, axis=1).astype(jnp.int32) if _ROW_CULL
+            row_any = (jnp.any(slab, axis=1).astype(jnp.int32) if row_cull
                        else None)
 
             @pl.when(jnp.any(slab))
@@ -579,16 +591,18 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu):
                         best_s3_ref[r:r + 1, :] = jnp.where(
                             better, s3_sel, best_s3_ref[r:r + 1, :])
 
-                    if _ROW_CULL:
+                    if row_cull:
                         pl.when(row_any[r] != 0)(_row_body)
                     else:
                         _row_body()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "sb", "mxu"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "sb", "mxu", "row_cull"))
 def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
                                    cluster_aabbs, interpret: bool = False,
-                                   sb: int = 0, mxu: str | None = "env"):
+                                   sb: int = 0, mxu: str | None = "env",
+                                   row_cull: bool | str = "env"):
     """Closest hit via the shortlist-driven cluster kernel.
 
     Args:
@@ -598,11 +612,14 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
       sb: super-block factor override (0 = auto from the SMEM budget).
       mxu: MXU sweep scheme (None, "bf16", "bf16x3", "f32x6") or "env"
         to defer to PTS_MXU_SWEEP — see the module knob comment.
+      row_cull: per-row cluster culling (exact-match; a win under the MXU
+        sweep, a loss under the VPU sweep) or "env" for PTS_ROW_CULL.
 
     Returns (hit [N] bool, t [N], idx [N] int32, s2 [N], s3 [N]),
     idx in BVH order — identical selection to the dense sweep.
     """
     mxu = resolve_mxu(mxu)
+    row_cull = resolve_row_cull(row_cull)
     n = rox.shape[0]
     t_count = tri_pack.shape[0]
     n_groups_est = -(-max(t_count, 1) // GROUP_T)
@@ -686,7 +703,8 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
         scratch_shapes=mxu_scratch_shapes(_RB, mxu) if mxu else [],
     )
     best_t, best_i, best_s2, best_s3 = pl.pallas_call(
-        functools.partial(_sl_kernel, rows=_RB, kc=KC, sb=sb, mxu=mxu),
+        functools.partial(_sl_kernel, rows=_RB, kc=KC, sb=sb, mxu=mxu,
+                          row_cull=row_cull),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),

@@ -152,9 +152,10 @@ def test_reorder_is_bit_identical():
 
 @pytest.mark.slow
 @pytest.mark.parametrize("knob,val,rtol", [
-    ("_EARLY_EXIT", True, 1e-4), ("_ROW_CULL", True, 1e-4),
+    ("_EARLY_EXIT", True, 1e-4), ("row_cull", True, 1e-4),
     ("_RB", 16, 1e-4),
-    ("mxu", "bf16x3", 1e-3), ("mxu", "f32x6", 1e-4)])
+    ("mxu", "bf16x3", 1e-3), ("mxu", "f32x6", 1e-4),
+    ("mxu+row_cull", "f32x6", 1e-4)])
 def test_knob_variants_match_bruteforce(knob, val, rtol):
     """The off-by-default culling knobs must stay selection-identical —
     incl. the early-exit's min(best_t, root-box cap) bound, which lets
@@ -167,11 +168,16 @@ def test_knob_variants_match_bruteforce(knob, val, rtol):
     h0, t0, i0, _, _ = intersect_bruteforce(
         jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(fn), jnp.asarray(k1),
         jnp.asarray(k2), jnp.asarray(k3), jnp.asarray(consts))
-    if knob == "mxu":      # per-call static arg, no module state involved
+    if knob in ("mxu", "row_cull", "mxu+row_cull"):
+        # per-call static args, no module state involved; mxu+row_cull is
+        # the TPU production configuration (engine.sweep_policy)
+        kw = ({"row_cull": True} if knob == "row_cull"
+              else {"mxu": val} if knob == "mxu"
+              else {"mxu": val, "row_cull": True})
         h1, t1, i1, _, _ = isl.intersect_shortlist_pallas_soa(
             *(jnp.asarray(ro[:, k]) for k in range(3)),
             *(jnp.asarray(rd[:, k]) for k in range(3)),
-            tri16, caabb, interpret=True, mxu=val)
+            tri16, caabb, interpret=True, **kw)
     else:
         old = getattr(isl, knob)
         try:
@@ -291,3 +297,47 @@ def test_superblock_shortlists_match_bruteforce(sb):
     np.testing.assert_allclose(np.asarray(t0)[m], np.asarray(t1)[m],
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i0)[m], np.asarray(i1)[m])
+
+
+def test_sweep_policy_defaults(monkeypatch):
+    """The engine's production sweep policy (docs/tpu_cost_model.md
+    "Hardware verdict"): f32x6 + row-cull on real TPU for the
+    hierarchical kernels, VPU (bit-identical) everywhere else, with
+    PTS_MXU_SWEEP / PTS_ROW_CULL always winning."""
+    from pathtracing_spectrum_tpu.engine import sweep_policy
+    monkeypatch.delenv("PTS_MXU_SWEEP", raising=False)
+    monkeypatch.delenv("PTS_ROW_CULL", raising=False)
+    assert sweep_policy("hier", on_tpu=True) == ("f32x6", True)
+    assert sweep_policy("shortlist", on_tpu=True) == ("f32x6", True)
+    assert sweep_policy("worklist", on_tpu=True) == ("f32x6", True)
+    # off-TPU (CPU tests / interpret): keep the bit-identical VPU sweep
+    assert sweep_policy("hier", on_tpu=False) == (None, False)
+    # non-hierarchical backends never take the MXU sweep
+    assert sweep_policy("dense_pallas", on_tpu=True) == (None, False)
+    assert sweep_policy("cluster", on_tpu=True) == (None, False)
+    # set-but-empty PTS_MXU_SWEEP forces the VPU sweep even on TPU
+    monkeypatch.setenv("PTS_MXU_SWEEP", "")
+    monkeypatch.setattr(isl, "_MXU_SWEEP", None)
+    assert sweep_policy("hier", on_tpu=True) == (None, False)
+    # explicit scheme override rides through
+    monkeypatch.setenv("PTS_MXU_SWEEP", "bf16x3")
+    monkeypatch.setattr(isl, "_MXU_SWEEP", "bf16x3")
+    assert sweep_policy("hier", on_tpu=True) == ("bf16x3", True)
+    # PTS_ROW_CULL=0 disables row culling under the MXU default
+    monkeypatch.delenv("PTS_MXU_SWEEP", raising=False)
+    monkeypatch.setenv("PTS_ROW_CULL", "0")
+    monkeypatch.setattr(isl, "_ROW_CULL", False)
+    assert sweep_policy("hier", on_tpu=True) == ("f32x6", False)
+    # ...and PTS_ROW_CULL=1 turns it on even under the VPU sweep
+    monkeypatch.setenv("PTS_ROW_CULL", "1")
+    monkeypatch.setattr(isl, "_ROW_CULL", True)
+    assert sweep_policy("hier", on_tpu=False) == (None, True)
+
+
+def test_resolve_row_cull_env_sentinel(monkeypatch):
+    assert isl.resolve_row_cull(True) is True
+    assert isl.resolve_row_cull(False) is False
+    monkeypatch.setattr(isl, "_ROW_CULL", True)
+    assert isl.resolve_row_cull("env") is True
+    monkeypatch.setattr(isl, "_ROW_CULL", False)
+    assert isl.resolve_row_cull("env") is False
