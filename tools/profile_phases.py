@@ -42,6 +42,12 @@ from pathtracing_spectrum_tpu.render import RenderSession
 
 K = int(os.environ.get("PTS_PROF_K", "8"))
 SPP = int(os.environ.get("PTS_PROF_SPP", "4"))
+# comma-separated subset of phases to run (default: all + in-context)
+PHASES = set(p for p in os.environ.get("PTS_PROF_PHASES", "").split(",") if p)
+
+
+def want(phase):
+    return not PHASES or phase in PHASES
 
 
 def scene_for(name):
@@ -155,7 +161,8 @@ def main():
         d = jnp.float32(1e-7) * (1.0 + 1e-3 * i.astype(jnp.float32))
         return (ox + d * res[:, 3], oy + d * res[:, 0], oz + d * res[:, 1],
                 acc + res[:, 2].sum())
-    ms["sort"] = chain("sort", sort_fn, rox, roy, roz, rdx, rdy, rdz)
+    if want("sort"):
+        ms["sort"] = chain("sort", sort_fn, rox, roy, roz, rdx, rdy, rdz)
 
     # --- intersect: the engine-resolved kernel on sorted bounce rays ---
     def isect_fn(i, carry, rox, roy, roz, rdx, rdy, rdz):
@@ -167,7 +174,8 @@ def main():
         s = jnp.float32(1e-5) * (1.0 + 1e-3 * i.astype(jnp.float32))
         return (ox + s * tt * rdx, oy + s * tt * rdy, oz + s * tt * rdz,
                 acc + jnp.sum(tt))
-    ms["intersect"] = chain("intersect", isect_fn, rox, roy, roz,
+    if want("intersect"):
+        ms["intersect"] = chain("intersect", isect_fn, rox, roy, roz,
                             rdx, rdy, rdz)
 
     # one real intersection feeds the shading-phase chains
@@ -182,7 +190,8 @@ def main():
         attrs_t = ec.fetch_attrs(ctx, idx)
         bump = (attrs_t[0] > 0).astype(jnp.int32) + i
         return ((idx + bump) % n_tris, acc + attrs_t[1].sum())
-    ms["fetch"] = chain("fetch", fetch_fn, idx0)
+    if want("fetch"):
+        ms["fetch"] = chain("fetch", fetch_fn, idx0)
 
     attrs_t = jax.jit(lambda i: ec.fetch_attrs(ctx, i))(idx0)
 
@@ -195,7 +204,8 @@ def main():
             ctx, attrs_t, rox, roy, roz, rdx, rdy, rdz, tc, s2, s3)
         d = jnp.float32(1e-6) * (1.0 + 1e-3 * i.astype(jnp.float32))
         return (tc + d * (nx + rough), acc + jnp.sum(uvu + poy * 0 + uvv))
-    ms["shade"] = chain("shade", shade_fn, attrs_t, rox, roy, roz,
+    if want("shade"):
+        ms["shade"] = chain("shade", shade_fn, attrs_t, rox, roy, roz,
                         rdx, rdy, rdz, t, s2, s3)
 
     # --- spectra: material curves + [nw, N] state update ---
@@ -211,7 +221,8 @@ def main():
         rad = rad + thr * jnp.where(surv, emis_eff, sd.sky[:, None])
         thr = jnp.where(surv, thr * refl_eff, thr)
         return (thr, rad, acc + rad[0].sum())
-    ms["spectra"] = chain("spectra", spectra_fn, attrs_t, hit)
+    if want("spectra"):
+        ms["spectra"] = chain("spectra", spectra_fn, attrs_t, hit)
 
     # --- bounce: RNG planes + sample_bounce_soa ---
     mat = ec.row(ctx, attrs_t, "mat_type").astype(jnp.int32)
@@ -229,7 +240,8 @@ def main():
         return (b.dx, b.dy, b.dz, acc + jnp.sum(b.dz))
     nxv = jnp.where(rdx == 0, 1.0, -rdx)  # stand-in shading normals
     nyv, nzv = jnp.abs(rdy), jnp.abs(rdz)
-    ms["bounce"] = chain("bounce", bounce_fn, rdx, rdy, rdz, nxv, nyv, nzv)
+    if want("bounce"):
+        ms["bounce"] = chain("bounce", bounce_fn, rdx, rdy, rdz, nxv, nyv, nzv)
 
     total = sum(ms.values())
     print(f"{'SUM':>10}: {total * 1000:7.2f} ms/iteration "
