@@ -241,7 +241,11 @@ def config5_multichip_4k():
     sharding = TileSharding(make_mesh()) if n_dev > 1 else None
     s = _session(sc, sharding=sharding)
     dt, st = _timed_spp(s, 4, batch=4)
-    report("multichip_4k_tiled", devices=n_dev, spp=4, seconds=round(dt, 3),
+    # honest labeling (round-2 verdict): a 1-device run is NOT a multichip
+    # number — report it under a single-chip name; the virtual-mesh curve
+    # below carries the multi-device scaling shape
+    name = "multichip_4k_tiled" if n_dev > 1 else "4k_singlechip"
+    report(name, devices=n_dev, spp=4, seconds=round(dt, 3),
            tiled=bool(sharding), spp_per_sec_4k=round(4 / dt, 3),
            mrays_per_sec_total=round(st["mrays_per_s"], 1))
     if n_dev == 1:
