@@ -85,6 +85,14 @@ FETCH_PALLAS_MAX_GROUPS = 16
 # "auto" backend: dense sweep below this triangle count.
 DENSE_AUTO_MAX_TRIS = 512
 
+# Per-row cluster culling only pays once shortlists are long enough that
+# a culled row skips whole MXU matmuls often; below this the per-row
+# slab tests are pure overhead. Measured intersect chains on v5e
+# (2026-08-18, f32x6 sweep, cull vs no-cull ms/call): 2.2k tris
+# 49.1/36.3 (-35%), 9.9k 11.6/10.5 (-10%), 52k 28.8/29.3 (+2%),
+# 246k 80.2/89.4 (+11%) — crossover sits between 10k and 52k.
+ROW_CULL_MIN_TRIS = 32768
+
 def resolve_backend(backend: str, n_tris: int) -> str:
     """Map 'auto'/'dense' to a concrete implementation for this platform.
 
@@ -178,7 +186,8 @@ def _texture_flags(scene: SceneData):
             scene.temp_grids.shape[0] > 0)
 
 
-def sweep_policy(backend: str, on_tpu: bool | None = None):
+def sweep_policy(backend: str, on_tpu: bool | None = None,
+                 n_tris: int | None = None):
     """Resolve the (mxu scheme, row_cull) pair for the hierarchical
     kernels. Measured production default (v5e 2026-08-18, loop-carried
     chains at 246k tris — docs/tpu_cost_model.md "Hardware verdict"):
@@ -186,11 +195,14 @@ def sweep_policy(backend: str, on_tpu: bool | None = None):
     (2.72 vs 1.98 spp/s at 246k; 80.2 vs 112.4 ms/call on the kernel
     chain). f32x6 is f32-ulp-faithful — hit/idx selection is identical
     to the VPU sweep (pinned by tests), only last-ulp t differs — so it
-    is safe as a default; row culling only pays when a culled row skips
-    a whole matmul, so it follows the mxu decision. Env overrides always
-    win: PTS_MXU_SWEEP (set-but-empty = force the VPU sweep) and
-    PTS_ROW_CULL. Off-TPU (CPU tests, interpret mode) keeps the VPU
-    sweep and its bit-identity with the dense kernel."""
+    is safe as a default. Row culling only pays when a culled row skips
+    a whole matmul, which needs both the MXU sweep and shortlists long
+    enough to skip from — size-aware via ROW_CULL_MIN_TRIS (at 2.2k tris
+    culling COSTS 35% of the intersect chain; n_tris=None means unknown,
+    assume large). Env overrides always win: PTS_MXU_SWEEP
+    (set-but-empty = force the VPU sweep) and PTS_ROW_CULL. Off-TPU
+    (CPU tests, interpret mode) keeps the VPU sweep and its bit-identity
+    with the dense kernel."""
     if backend not in ("shortlist", "worklist", "hier"):
         return None, False
     if on_tpu is None:
@@ -203,7 +215,8 @@ def sweep_policy(backend: str, on_tpu: bool | None = None):
     if "PTS_ROW_CULL" in os.environ:
         row_cull = isl._ROW_CULL
     else:
-        row_cull = mxu is not None and on_tpu
+        row_cull = (mxu is not None and on_tpu
+                    and (n_tris is None or n_tris >= ROW_CULL_MIN_TRIS))
     return mxu, row_cull
 
 
@@ -213,7 +226,7 @@ def make_intersector(scene: SceneData, backend: str, leaf_size: int = 4):
     the primary-hit hoist in :func:`render_samples`."""
     n_tris = scene.tri_shade.shape[0]
     backend = resolve_backend(backend, n_tris=n_tris)
-    mxu, row_cull = sweep_policy(backend)
+    mxu, row_cull = sweep_policy(backend, n_tris=n_tris)
     tri16 = (pack_tri16(scene.tri_face_n, scene.tri_k1, scene.tri_k2,
                         scene.tri_k3, scene.tri_consts)
              if backend in ("dense_pallas", "cluster", "shortlist",

@@ -315,6 +315,14 @@ def test_sweep_policy_defaults(monkeypatch):
     # non-hierarchical backends never take the MXU sweep
     assert sweep_policy("dense_pallas", on_tpu=True) == (None, False)
     assert sweep_policy("cluster", on_tpu=True) == (None, False)
+    # size-aware row culling: below ROW_CULL_MIN_TRIS the per-row slab
+    # tests are pure overhead (measured -35% at 2.2k tris), so small
+    # scenes keep the MXU sweep but drop the culling
+    from pathtracing_spectrum_tpu.engine import ROW_CULL_MIN_TRIS
+    assert sweep_policy("hier", on_tpu=True,
+                        n_tris=ROW_CULL_MIN_TRIS - 1) == ("f32x6", False)
+    assert sweep_policy("hier", on_tpu=True,
+                        n_tris=ROW_CULL_MIN_TRIS) == ("f32x6", True)
     # set-but-empty PTS_MXU_SWEEP forces the VPU sweep even on TPU
     monkeypatch.setenv("PTS_MXU_SWEEP", "")
     monkeypatch.setattr(isl, "_MXU_SWEEP", None)
@@ -328,10 +336,12 @@ def test_sweep_policy_defaults(monkeypatch):
     monkeypatch.setenv("PTS_ROW_CULL", "0")
     monkeypatch.setattr(isl, "_ROW_CULL", False)
     assert sweep_policy("hier", on_tpu=True) == ("f32x6", False)
-    # ...and PTS_ROW_CULL=1 turns it on even under the VPU sweep
+    # ...and PTS_ROW_CULL=1 turns it on even under the VPU sweep or
+    # below the size threshold
     monkeypatch.setenv("PTS_ROW_CULL", "1")
     monkeypatch.setattr(isl, "_ROW_CULL", True)
     assert sweep_policy("hier", on_tpu=False) == (None, True)
+    assert sweep_policy("hier", on_tpu=True, n_tris=100) == ("f32x6", True)
 
 
 def test_resolve_row_cull_env_sentinel(monkeypatch):
