@@ -295,7 +295,8 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                    rand_override: Optional[jnp.ndarray] = None,
                    dispersion: bool = False,
                    reorder: object = "auto",
-                   primary0=None) -> TraceResult:
+                   primary0=None,
+                   reorder_period: int = 1) -> TraceResult:
     """Trace radiance spectra for a batch of rays.
 
     Args:
@@ -325,6 +326,14 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         computes it once per dispatch and reuses it for every sample
         (~50 ms/sample at 1080p). Results are bit-identical by
         construction — it is the same intersect call, hoisted.
+      reorder_period: 2 = refresh the bounce sort every other iteration
+        and reuse the previous permutation in between (skips the key +
+        two segmented argsorts; both row gathers remain). Bit-identical
+        output for any period — a stale permutation only loosens block
+        coherence. 1 = fresh sort every iteration. MEASURED LOSS on v5e
+        (interleaved A/B 2026-08-18: terrain 52k 6.74 vs 7.96 spp/s):
+        one-iteration-stale direction octants cost more sweep time than
+        the saved argsorts (~5.6 ms). Off-default measurement gear.
 
     Returns:
       TraceResult(radiance [N, nw], rays_traced scalar).
@@ -416,7 +425,8 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         wn_hero = (hero_sel(scene.wavenumbers[:, None])
                    if has_grids else None)
 
-    def body(h, state, do_sort=False, hit0=None):
+    def body(h, state, do_sort=False, hit0=None, perm_in=None,
+             want_perm=False):
         (rox, roy, roz, rdx, rdy, rdz,
          throughput_t, radiance_t, inside, alive, rays_traced) = state
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.int32))
@@ -439,7 +449,17 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
             # would produce denormal bit patterns that TPU float ops flush
             # to zero); `hit` is recomputed from t < BIG, exactly how the
             # kernel derives it.
-            perm, inv = sort_perm(rox, roy, roz, rdx, rdy, rdz, alive)
+            # ``perm_in`` reuses the previous iteration's permutation
+            # (reorder_period=2): any permutation is result-exact (the
+            # kernels are ray-order-independent, pinned by
+            # test_reorder_is_bit_identical), a stale one only loosens
+            # block coherence — bounce h+1 origins are bounce h hit
+            # points, so origin grouping survives; only the direction
+            # octants go stale. Saves the key + two segmented argsorts.
+            if perm_in is not None:
+                perm, inv = perm_in
+            else:
+                perm, inv = sort_perm(rox, roy, roz, rdx, rdy, rdz, alive)
             packed = jnp.stack([rox, roy, roz, rdx, rdy, rdz],
                                axis=1)[perm]                       # [N, 6]
             hit_s, t_s, idx_s, s2_s, s3_s = intersect(
@@ -634,8 +654,11 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         rdz = jnp.where(survive, b.dz, 0.0)
         inside = jnp.where(survive, b.new_inside, inside)
         alive = survive
-        return (rox, roy, roz, rdx, rdy, rdz,
-                throughput_t, radiance_t, inside, alive, rays_traced)
+        new_state = (rox, roy, roz, rdx, rdy, rdz,
+                     throughput_t, radiance_t, inside, alive, rays_traced)
+        if want_perm:
+            return new_state, (perm, inv)
+        return new_state
 
     if use_dispersion:
         # hero estimator: E[nw * onehot(hero)] = 1 per channel; packed as a
@@ -653,9 +676,25 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
     # bounce 0 is always peeled: primary rays are tile-ordered already (no
     # sort needed) and the caller may supply the hoisted intersection
     state = body(0, state, hit0=primary0)
-    state = jax.lax.fori_loop(1, 2 * max_depth,
-                              functools.partial(body, do_sort=do_reorder),
-                              state)
+    if do_reorder and reorder_period >= 2 and 2 * max_depth > 2:
+        # permutation reuse: iterations pair as (fresh sort, reuse) — the
+        # reuse iteration skips key + 2 argsorts but keeps both gathers.
+        # Result-exact for ANY permutation; see the body() comment.
+        n_pairs = (2 * max_depth - 1) // 2
+
+        def pair(j, st):
+            h0 = 1 + 2 * j
+            st, pi = body(h0, st, do_sort=True, want_perm=True)
+            return body(h0 + 1, st, do_sort=True, perm_in=pi)
+
+        state = jax.lax.fori_loop(0, n_pairs, pair, state)
+        if (2 * max_depth - 1) % 2:
+            state = body(2 * max_depth - 1, state, do_sort=True)
+    else:
+        state = jax.lax.fori_loop(1, 2 * max_depth,
+                                  functools.partial(body,
+                                                    do_sort=do_reorder),
+                                  state)
     throughput_t, radiance_t, alive, rays_traced = (state[6], state[7],
                                                     state[9], state[10])
 
@@ -692,13 +731,14 @@ def render_sample(scene: SceneData, ro, rd, total, samples, key,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_steps", "max_depth", "backend",
-                                    "leaf_size", "dispersion", "reorder"),
+                                    "leaf_size", "dispersion", "reorder",
+                                    "reorder_period"),
                    donate_argnums=(3,))
 def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
                    counter0, n_steps: int, max_depth: int,
                    backend: str = "auto", leaf_size: int = 4,
                    dispersion: bool = False, reorder: object = "auto",
-                   jitter_cam=None):
+                   jitter_cam=None, reorder_period: int = 1):
     """``n_steps`` progressive samples in ONE dispatch.
 
     Per-call launch latency on a tunneled/remote TPU can reach hundreds of
@@ -756,7 +796,8 @@ def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
             rd_i = rd
         res = trace_radiance(scene, ro, rd_i, k, max_depth, backend,
                              leaf_size, dispersion=dispersion,
-                             reorder=reorder, primary0=primary0)
+                             reorder=reorder, primary0=primary0,
+                             reorder_period=reorder_period)
         return total + res.radiance, samples + 1, rays + res.rays_traced
 
     total, samples, rays = jax.lax.fori_loop(

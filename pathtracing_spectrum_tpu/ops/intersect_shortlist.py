@@ -85,6 +85,56 @@ def resolve_row_cull(row_cull):
     if row_cull == "env":
         return _ROW_CULL
     return bool(row_cull)
+
+
+# Row-fused sweep: treat the whole kernel block as ONE [1, RB*128] ray
+# row, so each cluster costs a single [CLUSTER, K'] x [K', 8*RB*128]
+# matmul (and one wide VPU epilogue) instead of RB separate 1024-column
+# matmuls with [1, 128]-granular reductions between them. Per-ray
+# arithmetic is identical (each output element is the same dot product
+# over the same K' column, lanes are independent), so hit/t/idx are
+# exact-match with the unfused kernel per scheme — pinned by the knob
+# equivalence tests. Mutually exclusive with row_cull (there are no
+# rows left to cull; the block-level pl.when still stands).
+# MEASURED LOSS on v5e (textured 1080p / 2.2k tris intersect chain:
+# 43.4 vs 36.3 ms/call unfused): every [1, RB*128] epilogue value
+# occupies 8x the vregs of packed [RB, 128] rows (one sublane of
+# eight), so the ~12 best-update ops pay 8x the VPU slots — more than
+# the saved matmul issues. Kept off-default as measurement gear; the
+# same probe showed the kernel is VPU/branch-bound at small T (bf16
+# 35.4 vs f32x6 36.3: 6x less MXU work bought 2.5%).
+_ROW_FUSE = os.environ.get("PTS_ROW_FUSE") == "1"
+
+
+def resolve_row_fuse(fuse_rows):
+    """Resolve a kernel ``fuse_rows=`` argument: the "env" sentinel
+    defers to PTS_ROW_FUSE (module flag, so tests can patch it)."""
+    if fuse_rows == "env":
+        return _ROW_FUSE
+    return bool(fuse_rows)
+
+
+# Clusters swept per kernel step (see intersect_shortlist_pallas_soa's
+# ``span`` arg): span s replaces s per-cluster matmul+epilogue rounds
+# with ONE [s*64, K'] matmul and ONE epilogue, gated on the span's slab
+# UNION — exact-match (extra candidates beyond a lane's bound can never
+# win the best-t compare). MEASURED LOSS on v5e (textured 1080p
+# intersect chain, f32x6: span 2/4/8 = 38.4/48.1/58.8 vs 36.3 ms/call
+# at span 1): blocks sweep only ~2-3 of their shortlisted clusters on
+# average, so the union gate mostly ADDS triangles that per-cluster
+# slabs would have skipped. Kept off-default as measurement gear.
+_SWEEP_SPAN = int(os.environ.get("PTS_SWEEP_SPAN", "1"))
+
+
+def resolve_span(span):
+    """Resolve a kernel ``span=`` argument: the "env" sentinel defers
+    to PTS_SWEEP_SPAN (module flag, so tests can patch it)."""
+    if span == "env":
+        span = _SWEEP_SPAN
+    span = int(span)
+    if span not in (1, 2, 4, 8):
+        raise ValueError(f"span={span}: expected 1, 2, 4 or 8")
+    return span
 # MXU sweep: compute ALL 8 ray.K dot-product families of the triangle
 # predicate as ONE [CLUSTER, 16] x [16, 8*LANES] matmul per (row,
 # cluster) — the VPU sweep (~40 broadcast ops) is the measured wall on
@@ -151,16 +201,17 @@ def mxu_num_scratch(mxu) -> int:
     return 1 if _MXU_FUSE_K else 3
 
 
-def mxu_scratch_shapes(rows: int, mxu):
-    """VMEM rhs buffers: K-fused — ONE [rows*K', 8*LANES] buffer holding
+def mxu_scratch_shapes(rows: int, mxu, lanes: int = _LANES):
+    """VMEM rhs buffers: K-fused — ONE [rows*K', 8*lanes] buffer holding
     each row's pre-concatenated split stack (K' = 16/48/96); separate-
-    pass fallback — bf16 hi/mid/lo chunk buffers."""
+    pass fallback — bf16 hi/mid/lo chunk buffers. ``lanes`` is the ray
+    row width: 128 normally, RB*128 under the row-fused sweep."""
     if _MXU_FUSE_K:
-        return [pltpu.VMEM((rows * _MXU_K[mxu], 8 * _LANES), jnp.bfloat16)]
-    return [pltpu.VMEM((rows * 16, 8 * _LANES), jnp.bfloat16)] * 3
+        return [pltpu.VMEM((rows * _MXU_K[mxu], 8 * lanes), jnp.bfloat16)]
+    return [pltpu.VMEM((rows * 16, 8 * lanes), jnp.bfloat16)] * 3
 
 
-def _mxu_build_rhs(ray_ref, rows, rhs_refs, mxu):
+def _mxu_build_rhs(row_plane, rows, rhs_refs, mxu):
     """Build the per-row matmul rhs once per ray block (reused across
     every streamed group): rhs row k carries the coefficient that
     multiplies tri16 column k, so out = tri16_cluster @ rhs yields the
@@ -168,12 +219,15 @@ def _mxu_build_rhs(ray_ref, rows, rhs_refs, mxu):
     ...). Split into bf16 chunks (hi = the 1-pass operand, hi+mid =
     2-way split, all three = the exact 3-way split of f32); the K-fused
     layout stacks each row's scheme-ordered chunks contiguously so the
-    sweep issues one [CLUSTER, K'] @ [K', 8*LANES] matmul per row."""
-    z = jnp.zeros((1, _LANES), jnp.float32)
-    m1 = -jnp.ones((1, _LANES), jnp.float32)
+    sweep issues one [CLUSTER, K'] @ [K', 8*lanes] matmul per row.
+    ``row_plane(k, r)`` yields ray plane k of row r as [1, lanes]
+    (lanes = the ray row width: 128, or RB*128 when rows are fused)."""
+    lanes = row_plane(0, 0).shape[-1]
+    z = jnp.zeros((1, lanes), jnp.float32)
+    m1 = -jnp.ones((1, lanes), jnp.float32)
     for r in range(rows):
-        ro3 = [ray_ref[k, r:r + 1, :] for k in range(3)]
-        rd3 = [ray_ref[k + 3, r:r + 1, :] for k in range(3)]
+        ro3 = [row_plane(k, r) for k in range(3)]
+        rd3 = [row_plane(k + 3, r) for k in range(3)]
         rows16 = []
         for sec in range(4):            # n, k1, k2, k3
             for comp in range(3):
@@ -209,11 +263,12 @@ def _mxu_build_rhs(ray_ref, rows, rhs_refs, mxu):
         rhs_ref[r * kp:(r + 1) * kp, :] = jnp.concatenate(stack, axis=0)
 
 
-def _mxu_lhs_chunks(tri_ref, base, mxu):
-    """bf16 split of the [CLUSTER, 16] tri16 block slice, hoisted out of
-    the row loop (one split per cluster): K-fused — the scheme's chunk
-    sequence concatenated along K; fallback — the (hi, mid, lo) triple."""
-    trif = tri_ref[base:base + CLUSTER, :]
+def _mxu_lhs_chunks(tri_ref, base, mxu, span_t=CLUSTER):
+    """bf16 split of the [span_t, 16] tri16 block slice, hoisted out of
+    the row loop (one split per cluster span): K-fused — the scheme's
+    chunk sequence concatenated along K; fallback — the (hi, mid, lo)
+    triple."""
+    trif = tri_ref[base:base + span_t, :]
     l_hi = trif.astype(jnp.bfloat16)
     t1 = trif - l_hi.astype(jnp.float32)
     l_mid = t1.astype(jnp.bfloat16)
@@ -230,12 +285,13 @@ def _mxu_lhs_chunks(tri_ref, base, mxu):
 
 def _mxu_sweep_row(lhs, rhs_refs, r, mxu):
     """The triangle predicate terms (denom, t, s1, s2, s3) for ray row
-    r, each [CLUSTER, LANES], from native bf16xbf16->f32 MXU matmuls
-    (DEFAULT precision). K-fused: ONE [CLUSTER, K'] @ [K', 8*LANES]
+    r, each [CLUSTER, lanes], from native bf16xbf16->f32 MXU matmuls
+    (DEFAULT precision). K-fused: ONE [CLUSTER, K'] @ [K', 8*lanes]
     dot_general — all split products accumulate in the MXU's f32
-    accumulator. Fallback: one [CLUSTER, 16] @ [16, 8*LANES] pass per
-    split pair, summed smallest-magnitude first."""
-    L = _LANES
+    accumulator. Fallback: one [CLUSTER, 16] @ [16, 8*lanes] pass per
+    split pair, summed smallest-magnitude first. The row width is read
+    off the rhs buffer (128 normally, RB*128 when rows are fused)."""
+    L = rhs_refs[0].shape[-1] // 8
 
     def mm(a, b):
         return jax.lax.dot_general(
@@ -436,19 +492,45 @@ def build_shortlists(rays, group_aabb, group_valid, block_rows: int = _RB):
 # ---------------------------------------------------------------------------
 
 
-def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu, row_cull):
+def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu, row_cull,
+               fused=False, span=1):
     # tnear rides as a third prefetch array ONLY when the early-exit knob
     # is on — prefetch args are copied to SMEM whether read or not (they
     # are pallas_call operands, invisible to XLA DCE), so the unused array
     # would tax every call.
     if _EARLY_EXIT:
         tnear_ref, *refs = refs
+    if fused:
+        # fused best-hit accumulators live in [1, RB*128] VMEM scratch
+        # (the compute layout); the [RB, 128] out blocks are written once
+        # per block at the last grid step
+        sc_refs = tuple(refs[len(refs) - 4:])
+        refs = refs[:len(refs) - 4]
     if mxu:
         ns = mxu_num_scratch(mxu)
         rhs_refs = tuple(refs[len(refs) - ns:])
         refs = refs[:len(refs) - ns]
     (ray_ref, tri_ref, aabb_ref,
-     best_t_ref, best_i_ref, best_s2_ref, best_s3_ref) = refs
+     out_t_ref, out_i_ref, out_s2_ref, out_s3_ref) = refs
+    if fused:
+        # ray block is [1, 7, RB*128]: plane k = one [1, RB*128] row;
+        # there is exactly one row, so the per-row view is the plane
+        best_t_ref, best_i_ref, best_s2_ref, best_s3_ref = sc_refs
+
+        def plane(k):
+            return ray_ref[0, k:k + 1, :]
+
+        def row_plane(k, r):
+            return ray_ref[0, k:k + 1, :]
+    else:
+        best_t_ref, best_i_ref = out_t_ref, out_i_ref
+        best_s2_ref, best_s3_ref = out_s2_ref, out_s3_ref
+
+        def plane(k):
+            return ray_ref[k]
+
+        def row_plane(k, r):
+            return ray_ref[k, r:r + 1, :]
     i = pl.program_id(0) // sb      # shortlist (super-)block index
     j = pl.program_id(1)
 
@@ -459,7 +541,7 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu, row_cull):
         best_s2_ref[:] = jnp.zeros_like(best_s2_ref)
         best_s3_ref[:] = jnp.zeros_like(best_s3_ref)
         if mxu:
-            _mxu_build_rhs(ray_ref, rows, rhs_refs, mxu)
+            _mxu_build_rhs(row_plane, rows, rhs_refs, mxu)
 
     # Front-to-back early exit: the shortlist is sorted by the group's
     # entry-t lower bound, so once that bound strictly exceeds the worst
@@ -469,15 +551,15 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu, row_cull):
     # and keep best_t == BIG, so they are masked out of the worst.
     active = j < counts_ref[i]
     if _EARLY_EXIT:
-        parked = ((ray_ref[3] == 0.0) & (ray_ref[4] == 0.0)
-                  & (ray_ref[5] == 0.0))
+        parked = ((plane(3) == 0.0) & (plane(4) == 0.0)
+                  & (plane(5) == 0.0))
         # compare in int32 bit-pattern space: tnear/best_t are non-negative
         # floats (bit order == float order); parked rays mask to -1 so an
         # all-parked block compares below every tnear and shortlists to
         # zero. Each lane's bound is min(best_t, root-box exit cap): miss
         # rays never tighten best_t and would otherwise hold the whole
         # block's exit hostage at BIG — their cap releases it.
-        bound = jnp.minimum(best_t_ref[:], ray_ref[6])
+        bound = jnp.minimum(best_t_ref[:], plane(6))
         best_bits = jax.lax.bitcast_convert_type(bound, jnp.int32)
         worst = jnp.max(jnp.where(parked, jnp.int32(-1), best_bits))
         tnear_j = tnear_ref[i * pl.num_programs(1) + j]
@@ -486,26 +568,42 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu, row_cull):
     @pl.when(active)
     def _():
         gidx = sl_ref[i * pl.num_programs(1) + j]
-        rox_b = ray_ref[0]
-        roy_b = ray_ref[1]
-        roz_b = ray_ref[2]
-        rdx_b = ray_ref[3]
-        rdy_b = ray_ref[4]
-        rdz_b = ray_ref[5]
+        rox_b = plane(0)
+        roy_b = plane(1)
+        roz_b = plane(2)
+        rdx_b = plane(3)
+        rdy_b = plane(4)
+        rdz_b = plane(5)
         inv_xb = 1.0 / rdx_b
         inv_yb = 1.0 / rdy_b
         inv_zb = 1.0 / rdz_b
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, _LANES), 0)
+        span_t = span * CLUSTER
+        lane_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (span_t, rox_b.shape[-1]), 0)
 
-        for c in range(kc):
+        for c in range(0, kc, span):
             # sweep bound: running best-t AND the ray's root-box exit
             # cap (plane 6) — miss rays never tighten best_t, the cap
             # does; re-read per cluster so this step's hits keep culling
+            bound = jnp.minimum(best_t_ref[:], plane(6))
+            # span > 1 sweeps `span` adjacent clusters as one [span*64]
+            # triangle block (one matmul at MXU-native M, one epilogue):
+            # a lane joins if it slab-hits ANY of the span's boxes —
+            # conservative, and extra candidates past a lane's bound
+            # can never win the best-t compare, so selection stays
+            # bit-identical to span=1 (pinned by the knob tests).
             slab = _slab_block(
                 rox_b, roy_b, roz_b, inv_xb, inv_yb, inv_zb,
                 aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2],
                 aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5],
-                jnp.minimum(best_t_ref[:], ray_ref[6]))
+                bound)
+            for d in range(1, span):
+                slab = slab | _slab_block(
+                    rox_b, roy_b, roz_b, inv_xb, inv_yb, inv_zb,
+                    aabb_ref[c + d, 0], aabb_ref[c + d, 1],
+                    aabb_ref[c + d, 2], aabb_ref[c + d, 3],
+                    aabb_ref[c + d, 4], aabb_ref[c + d, 5],
+                    bound)
             # per-ROW cluster culling (8x finer than whole-block): after
             # reordering, rows are coherent 128-ray subgroups, so rows that
             # provably miss this cluster skip its 128-triangle sweep.
@@ -517,26 +615,26 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu, row_cull):
             def _(c=c, row_any=row_any):
                 base = c * CLUSTER
                 if mxu:
-                    # matmul lhs IS the tri16 block: [CLUSTER, 16] with
+                    # matmul lhs IS the tri16 block: [span_t, 16] with
                     # K-vectors in cols 0:12 and c0..c3 in cols 12:16
-                    lhs = _mxu_lhs_chunks(tri_ref, base, mxu)
+                    lhs = _mxu_lhs_chunks(tri_ref, base, mxu, span_t)
                 else:
-                    nx = tri_ref[base:base + CLUSTER, 0:1]
-                    ny = tri_ref[base:base + CLUSTER, 1:2]
-                    nz = tri_ref[base:base + CLUSTER, 2:3]
-                    k1x = tri_ref[base:base + CLUSTER, 3:4]
-                    k1y = tri_ref[base:base + CLUSTER, 4:5]
-                    k1z = tri_ref[base:base + CLUSTER, 5:6]
-                    k2x = tri_ref[base:base + CLUSTER, 6:7]
-                    k2y = tri_ref[base:base + CLUSTER, 7:8]
-                    k2z = tri_ref[base:base + CLUSTER, 8:9]
-                    k3x = tri_ref[base:base + CLUSTER, 9:10]
-                    k3y = tri_ref[base:base + CLUSTER, 10:11]
-                    k3z = tri_ref[base:base + CLUSTER, 11:12]
-                    c0 = tri_ref[base:base + CLUSTER, 12:13]
-                    c1 = tri_ref[base:base + CLUSTER, 13:14]
-                    c2 = tri_ref[base:base + CLUSTER, 14:15]
-                    c3 = tri_ref[base:base + CLUSTER, 15:16]
+                    nx = tri_ref[base:base + span_t, 0:1]
+                    ny = tri_ref[base:base + span_t, 1:2]
+                    nz = tri_ref[base:base + span_t, 2:3]
+                    k1x = tri_ref[base:base + span_t, 3:4]
+                    k1y = tri_ref[base:base + span_t, 4:5]
+                    k1z = tri_ref[base:base + span_t, 5:6]
+                    k2x = tri_ref[base:base + span_t, 6:7]
+                    k2y = tri_ref[base:base + span_t, 7:8]
+                    k2z = tri_ref[base:base + span_t, 8:9]
+                    k3x = tri_ref[base:base + span_t, 9:10]
+                    k3y = tri_ref[base:base + span_t, 10:11]
+                    k3z = tri_ref[base:base + span_t, 11:12]
+                    c0 = tri_ref[base:base + span_t, 12:13]
+                    c1 = tri_ref[base:base + span_t, 13:14]
+                    c2 = tri_ref[base:base + span_t, 14:15]
+                    c3 = tri_ref[base:base + span_t, 15:16]
                 tri_base = gidx * GROUP_T + base
 
                 for r in range(rows):
@@ -545,12 +643,12 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu, row_cull):
                             denom, t, s1, s2, s3 = _mxu_sweep_row(
                                 lhs, rhs_refs, r, mxu)
                         else:
-                            rox = ray_ref[0, r:r + 1, :]
-                            roy = ray_ref[1, r:r + 1, :]
-                            roz = ray_ref[2, r:r + 1, :]
-                            rdx = ray_ref[3, r:r + 1, :]
-                            rdy = ray_ref[4, r:r + 1, :]
-                            rdz = ray_ref[5, r:r + 1, :]
+                            rox = row_plane(0, r)
+                            roy = row_plane(1, r)
+                            roz = row_plane(2, r)
+                            rdx = row_plane(3, r)
+                            rdy = row_plane(4, r)
+                            rdz = row_plane(5, r)
                             denom = rdx * nx + rdy * ny + rdz * nz
                             ro_n = rox * nx + roy * ny + roz * nz
                             safe = jnp.where(denom == 0.0, 1.0, denom)
@@ -566,7 +664,7 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu, row_cull):
                         tt = jnp.where(valid, t, BIG)
 
                         tmin = jnp.min(tt, axis=0, keepdims=True)
-                        cand = jnp.where(tt == tmin, lane_iota, CLUSTER)
+                        cand = jnp.where(tt == tmin, lane_iota, span_t)
                         amin = jnp.min(cand, axis=0,
                                        keepdims=True).astype(jnp.int32)
                         win = lane_iota == amin
@@ -596,13 +694,27 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu, row_cull):
                     else:
                         _row_body()
 
+    if fused:
+        # write the [RB, 128] out blocks once, after the block's last
+        # shortlist step — one (1, RB*128) -> (RB, 128) relayout per ref
+        # per block instead of one per cluster
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            out_t_ref[:] = best_t_ref[:].reshape(out_t_ref.shape)
+            out_i_ref[:] = best_i_ref[:].reshape(out_i_ref.shape)
+            out_s2_ref[:] = best_s2_ref[:].reshape(out_s2_ref.shape)
+            out_s3_ref[:] = best_s3_ref[:].reshape(out_s3_ref.shape)
+
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "sb", "mxu", "row_cull"))
+                   static_argnames=("interpret", "sb", "mxu", "row_cull",
+                                    "fuse_rows", "span"))
 def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
                                    cluster_aabbs, interpret: bool = False,
                                    sb: int = 0, mxu: str | None = "env",
-                                   row_cull: bool | str = "env"):
+                                   row_cull: bool | str = "env",
+                                   fuse_rows: bool | str = "env",
+                                   span: int | str = "env"):
     """Closest hit via the shortlist-driven cluster kernel.
 
     Args:
@@ -614,12 +726,25 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
         to defer to PTS_MXU_SWEEP — see the module knob comment.
       row_cull: per-row cluster culling (exact-match; a win under the MXU
         sweep, a loss under the VPU sweep) or "env" for PTS_ROW_CULL.
+      fuse_rows: sweep the whole block as one [1, RB*128] row — one wide
+        matmul/epilogue per cluster instead of RB narrow ones
+        (exact-match) — or "env" for PTS_ROW_FUSE. Excludes row_cull.
+      span: adjacent clusters swept per step (1, 2, 4 or 8): span s
+        costs one [s*64, K'] matmul + ONE epilogue where span=1 pays s
+        of each; culling coarsens to the span's slab union
+        (exact-match — see the kernel comment) — or "env" for
+        PTS_SWEEP_SPAN.
 
     Returns (hit [N] bool, t [N], idx [N] int32, s2 [N], s3 [N]),
     idx in BVH order — identical selection to the dense sweep.
     """
     mxu = resolve_mxu(mxu)
     row_cull = resolve_row_cull(row_cull)
+    fuse_rows = resolve_row_fuse(fuse_rows)
+    span = resolve_span(span)
+    if fuse_rows and row_cull:
+        raise ValueError("fuse_rows and row_cull are mutually exclusive "
+                         "(a fused block has no rows to cull)")
     n = rox.shape[0]
     t_count = tri_pack.shape[0]
     n_groups_est = -(-max(t_count, 1) // GROUP_T)
@@ -678,16 +803,40 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
     np_pre = len(prefetch)
 
     grid = (nb, n_groups)
+    # row-fused: the same ray bytes viewed as [nb, 7, RB*128] — the
+    # kernel block becomes [1, 7, RB*128] (Mosaic requires the trailing
+    # two block dims to be (8,128)-divisible or exactly the array dims,
+    # which rules out a [7, 1, RB*128] view). Outputs keep the unfused
+    # [rows_total, 128] layout; the kernel accumulates into [1, RB*128]
+    # scratch and relayouts once per block.
+    krows = 1 if fuse_rows else _RB
+    lanes_k = _RB * _LANES if fuse_rows else _LANES
+    rays_k = (rays.reshape(7, nb, lanes_k).transpose(1, 0, 2)
+              if fuse_rows else rays)
+    ray_spec = (pl.BlockSpec((1, 7, lanes_k),
+                             lambda i, j, *pre: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+                if fuse_rows else
+                pl.BlockSpec((7, _RB, _LANES),
+                             lambda i, j, *pre: (0, i, 0),
+                             memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((_RB, _LANES),
                             lambda i, j, *pre: (i, 0),
                             memory_space=pltpu.VMEM)
+    # bf16 hi/mid/lo chunks of the per-row matmul rhs, built once per
+    # ray block at j == 0 (persist across the shortlist walk), plus the
+    # fused best-hit accumulators
+    scratch = list(mxu_scratch_shapes(krows, mxu, lanes_k)) if mxu else []
+    if fuse_rows:
+        scratch += [pltpu.VMEM((1, lanes_k), jnp.float32),
+                    pltpu.VMEM((1, lanes_k), jnp.int32),
+                    pltpu.VMEM((1, lanes_k), jnp.float32),
+                    pltpu.VMEM((1, lanes_k), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=np_pre,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((7, _RB, _LANES),
-                         lambda i, j, *pre: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            ray_spec,
             pl.BlockSpec((GROUP_T, 16),
                          lambda i, j, counts, sl, *pre:
                          (sl[(i // sb) * n_groups + j], 0),
@@ -698,13 +847,11 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec] * 4,
-        # bf16 hi/mid/lo chunks of the per-row matmul rhs, built once
-        # per ray block at j == 0 (persist across the shortlist walk)
-        scratch_shapes=mxu_scratch_shapes(_RB, mxu) if mxu else [],
+        scratch_shapes=scratch,
     )
     best_t, best_i, best_s2, best_s3 = pl.pallas_call(
-        functools.partial(_sl_kernel, rows=_RB, kc=KC, sb=sb, mxu=mxu,
-                          row_cull=row_cull),
+        functools.partial(_sl_kernel, rows=krows, kc=KC, sb=sb, mxu=mxu,
+                          row_cull=row_cull, fused=fuse_rows, span=span),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),
@@ -713,7 +860,7 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
             jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(*prefetch, rays, tri_pack, cluster_aabbs)
+    )(*prefetch, rays_k, tri_pack, cluster_aabbs)
 
     best_t = best_t.reshape(n_pad)[:n]
     best_i = best_i.reshape(n_pad)[:n]

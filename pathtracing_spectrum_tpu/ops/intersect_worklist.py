@@ -83,7 +83,8 @@ def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
         if mxu:
             # the worklist is block-major, so the per-block matmul rhs
             # built at each first visit stays valid until the next one
-            isl._mxu_build_rhs(ray_ref, rows, scratch, mxu)
+            isl._mxu_build_rhs(lambda k, r: ray_ref[k, r:r + 1, :],
+                               rows, scratch, mxu)
 
     @pl.when(wl_active_ref[w] != 0)
     def _():

@@ -151,11 +151,36 @@ def test_reorder_is_bit_identical():
 
 
 @pytest.mark.slow
+def test_reorder_period_is_bit_identical():
+    """reorder_period=2 reuses the previous bounce's permutation every
+    other iteration. Any permutation is result-exact (the kernels are
+    ray-order-independent), so the output must match period=1 bitwise."""
+    from scene_helpers import cornell_scene
+    from pathtracing_spectrum_tpu import camera_rays
+    from pathtracing_spectrum_tpu.engine import trace_radiance
+
+    sc = cornell_scene(depth=3)
+    scene = sc.compile()
+    ro, rd = camera_rays(sc.camera(), 16, 16)
+    rng = np.random.default_rng(11)
+    rand = jnp.asarray(rng.uniform(0, 1, (6, 4, 256)).astype(np.float32))
+    key = jax.random.key(0)
+    a = trace_radiance(scene, ro, rd, key, 3, backend="shortlist",
+                       rand_override=rand, reorder=True)
+    b = trace_radiance(scene, ro, rd, key, 3, backend="shortlist",
+                       rand_override=rand, reorder=True, reorder_period=2)
+    np.testing.assert_array_equal(np.asarray(a.radiance),
+                                  np.asarray(b.radiance))
+    assert int(a.rays_traced) == int(b.rays_traced)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("knob,val,rtol", [
     ("_EARLY_EXIT", True, 1e-4), ("row_cull", True, 1e-4),
     ("_RB", 16, 1e-4),
     ("mxu", "bf16x3", 1e-3), ("mxu", "f32x6", 1e-4),
-    ("mxu+row_cull", "f32x6", 1e-4)])
+    ("mxu+row_cull", "f32x6", 1e-4),
+    ("fuse_rows", True, 1e-4), ("mxu+fuse_rows", "f32x6", 1e-4)])
 def test_knob_variants_match_bruteforce(knob, val, rtol):
     """The off-by-default culling knobs must stay selection-identical —
     incl. the early-exit's min(best_t, root-box cap) bound, which lets
@@ -168,12 +193,17 @@ def test_knob_variants_match_bruteforce(knob, val, rtol):
     h0, t0, i0, _, _ = intersect_bruteforce(
         jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(fn), jnp.asarray(k1),
         jnp.asarray(k2), jnp.asarray(k3), jnp.asarray(consts))
-    if knob in ("mxu", "row_cull", "mxu+row_cull"):
+    if knob in ("mxu", "row_cull", "mxu+row_cull", "fuse_rows",
+                "mxu+fuse_rows"):
         # per-call static args, no module state involved; mxu+row_cull is
-        # the TPU production configuration (engine.sweep_policy)
+        # the TPU big-scene production configuration
+        # (engine.sweep_policy); fuse_rows is off-default measurement
+        # gear (measured loss — see the module knob comment)
         kw = ({"row_cull": True} if knob == "row_cull"
+              else {"fuse_rows": True} if knob == "fuse_rows"
               else {"mxu": val} if knob == "mxu"
-              else {"mxu": val, "row_cull": True})
+              else {"mxu": val, "row_cull": True} if knob == "mxu+row_cull"
+              else {"mxu": val, "fuse_rows": True})
         h1, t1, i1, _, _ = isl.intersect_shortlist_pallas_soa(
             *(jnp.asarray(ro[:, k]) for k in range(3)),
             *(jnp.asarray(rd[:, k]) for k in range(3)),
@@ -196,6 +226,77 @@ def test_knob_variants_match_bruteforce(knob, val, rtol):
     np.testing.assert_allclose(np.asarray(t0)[m], np.asarray(t1)[m],
                                rtol=rtol, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i0)[m], np.asarray(i1)[m])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mxu", [None, "f32x6"])
+def test_row_fused_sweep_bitwise_identical(mxu):
+    """fuse_rows reshapes the block to one [1, RB*128] row: every output
+    element is the same dot product over the same K' column (lanes are
+    independent), so the fused kernel must match the unfused one
+    BITWISE per scheme — not just within tolerance."""
+    geo, tri16, caabb = _soup(700, seed=8)
+    ro, rd = _rays(2048, seed=9)
+    args = ([jnp.asarray(ro[:, k]) for k in range(3)]
+            + [jnp.asarray(rd[:, k]) for k in range(3)])
+    a = isl.intersect_shortlist_pallas_soa(
+        *args, tri16, caabb, interpret=True, mxu=mxu, row_cull=False,
+        fuse_rows=False)
+    b = isl.intersect_shortlist_pallas_soa(
+        *args, tri16, caabb, interpret=True, mxu=mxu, row_cull=False,
+        fuse_rows=True)
+    for x, y, name in zip(a, b, ("hit", "t", "idx", "s2", "s3")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=f"mxu={mxu} {name}")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("span", [2, 4, 8])
+def test_sweep_span_matches_span1(span):
+    """span s sweeps s adjacent clusters per step gated on the span's
+    slab UNION — conservative, so candidates only grow, and extras past
+    a lane's bound never win the best-t compare: selection must match
+    span=1 exactly (t within f32 reassociation of the same products)."""
+    geo, tri16, caabb = _soup(700, seed=8)
+    ro, rd = _rays(2048, seed=9)
+    args = ([jnp.asarray(ro[:, k]) for k in range(3)]
+            + [jnp.asarray(rd[:, k]) for k in range(3)])
+    a = isl.intersect_shortlist_pallas_soa(
+        *args, tri16, caabb, interpret=True, mxu=None, row_cull=False,
+        span=1)
+    b = isl.intersect_shortlist_pallas_soa(
+        *args, tri16, caabb, interpret=True, mxu=None, row_cull=False,
+        span=span)
+    for x, y, name in zip(a, b, ("hit", "t", "idx", "s2", "s3")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=f"span={span} {name}")
+
+
+def test_resolve_span_validates():
+    assert isl.resolve_span(1) == 1
+    assert isl.resolve_span(4) == 4
+    with pytest.raises(ValueError, match="span=3"):
+        isl.resolve_span(3)
+
+
+def test_fuse_rows_excludes_row_cull():
+    geo, tri16, caabb = _soup(100, seed=8)
+    ro, rd = _rays(1024, seed=9)
+    args = ([jnp.asarray(ro[:, k]) for k in range(3)]
+            + [jnp.asarray(rd[:, k]) for k in range(3)])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        isl.intersect_shortlist_pallas_soa(
+            *args, tri16, caabb, interpret=True, mxu="f32x6",
+            row_cull=True, fuse_rows=True)
+
+
+def test_resolve_row_fuse_env_sentinel(monkeypatch):
+    assert isl.resolve_row_fuse(True) is True
+    assert isl.resolve_row_fuse(False) is False
+    monkeypatch.setattr(isl, "_ROW_FUSE", True)
+    assert isl.resolve_row_fuse("env") is True
+    monkeypatch.setattr(isl, "_ROW_FUSE", False)
+    assert isl.resolve_row_fuse("env") is False
 
 
 @pytest.mark.slow
