@@ -230,6 +230,8 @@ if __name__ == "__main__":
     make_prism(os.path.join(HERE, "prism.obj"))
     make_sphere(os.path.join(HERE, "sphere.obj"))
     make_checker_png(os.path.join(HERE, "checker.png"))
+    make_terrain(os.path.join(HERE, "terrain_10k.obj"),
+                 grid=64, n_rocks=8, rock_sub=8)
     make_terrain(os.path.join(HERE, "terrain_52k.obj"),
                  grid=128, n_rocks=36, rock_sub=12)
     make_terrain(os.path.join(HERE, "terrain_200k.obj"),

@@ -93,6 +93,36 @@ DENSE_AUTO_MAX_TRIS = 512
 # 246k 80.2/89.4 (+11%) — crossover sits between 10k and 52k.
 ROW_CULL_MIN_TRIS = 32768
 
+# Size-aware default for ``reorder_from`` (first looped bounce iteration
+# that sorts). Early iterations are nearly fully live, so the sort's
+# dead-to-front packing — its dominant value on small scenes — has
+# nothing to pack there, while the sort itself costs ~26 ms/iteration at
+# 1080p (5.5 ms at 512²). On large scenes the sort's BLOCK-COHERENCE
+# value dominates from bounce 1 on and skipping any sort loses big.
+# Measured in-context on v5e (2026-08-19, tools/ab_engine.py, spp/s,
+# reorder_from = 1 / 2 / 3 / 4 / 5 / off, depth 3 = 6 iterations):
+#   textured 1080p 2.2k tris: 2.79/2.87/2.95/2.98/ - /2.91 -> 4 wins
+#   terrain 512²   10k tris: 13.58/14.40/14.23/ - / - /13.85 -> 2 wins
+#   terrain 512²   52k tris:  7.62/ 6.08/ 5.38/ - / - / 4.64 -> 1 wins
+# Tiny scenes want only the LAST TWO iterations sorted (the sort's
+# dead-to-front packing needs a mostly-dead wavefront to pack, which RR
+# only produces near the end); by ~10k tris the kernel-coherence value
+# already carries every sort after the first.
+REORDER_FROM_TINY_TRIS = 4096      # below: sort the last 2 iterations
+REORDER_FROM_SMALL_TRIS = 32768    # below: skip the h=1 sort
+
+
+def reorder_from_policy(n_tris: int, max_depth: int = 3) -> int:
+    """Resolve ``reorder_from="auto"`` from the scene's triangle count
+    (see the measured table above). The loop runs ``2*max_depth - 1``
+    sortable iterations (h = 1 .. 2*max_depth-1)."""
+    if n_tris < REORDER_FROM_TINY_TRIS:
+        return max(2, 2 * max_depth - 2)
+    if n_tris < REORDER_FROM_SMALL_TRIS:
+        return 2
+    return 1
+
+
 def resolve_backend(backend: str, n_tris: int) -> str:
     """Map 'auto'/'dense' to a concrete implementation for this platform.
 
@@ -296,7 +326,8 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                    dispersion: bool = False,
                    reorder: object = "auto",
                    primary0=None,
-                   reorder_period: int = 1) -> TraceResult:
+                   reorder_period: int = 1,
+                   reorder_from: object = "auto") -> TraceResult:
     """Trace radiance spectra for a batch of rays.
 
     Args:
@@ -334,6 +365,17 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         (interleaved A/B 2026-08-18: terrain 52k 6.74 vs 7.96 spp/s):
         one-iteration-stale direction octants cost more sweep time than
         the saved argsorts (~5.6 ms). Off-default measurement gear.
+      reorder_from: first looped bounce iteration that sorts (1 = every
+        one; "auto" = size-aware :func:`reorder_from_policy`, measured
+        table at REORDER_FROM_TINY_TRIS). Early bounce iterations are
+        nearly fully live, so the sort's dead-to-front packing — its
+        main value on small scenes — buys nothing there while costing
+        ~26 ms at 1080p (per-phase chain, v5e 2026-08-18); skipping it
+        where it cannot pay keeps the late-iteration benefit.
+        Result-exact for any value (the kernels are
+        ray-order-independent, pinned by test_reorder_is_bit_identical
+        / test_reorder_from_is_bit_identical). Ignored on the
+        ``reorder_period >= 2`` path.
 
     Returns:
       TraceResult(radiance [N, nw], rays_traced scalar).
@@ -691,7 +733,19 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         if (2 * max_depth - 1) % 2:
             state = body(2 * max_depth - 1, state, do_sort=True)
     else:
-        state = jax.lax.fori_loop(1, 2 * max_depth,
+        if reorder_from == "auto":
+            reorder_from = reorder_from_policy(n_tris, max_depth)
+        first_sorted = min(max(int(reorder_from), 1), 2 * max_depth)
+        if do_reorder and first_sorted > 1:
+            # early iterations are ~fully live: run them unsorted (the
+            # parked-lane packing the sort provides has nothing to pack),
+            # then sort from `first_sorted` on
+            state = jax.lax.fori_loop(1, first_sorted,
+                                      functools.partial(body,
+                                                        do_sort=False),
+                                      state)
+        state = jax.lax.fori_loop(first_sorted if do_reorder else 1,
+                                  2 * max_depth,
                                   functools.partial(body,
                                                     do_sort=do_reorder),
                                   state)
@@ -732,13 +786,14 @@ def render_sample(scene: SceneData, ro, rd, total, samples, key,
 @functools.partial(jax.jit,
                    static_argnames=("n_steps", "max_depth", "backend",
                                     "leaf_size", "dispersion", "reorder",
-                                    "reorder_period"),
+                                    "reorder_period", "reorder_from"),
                    donate_argnums=(3,))
 def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
                    counter0, n_steps: int, max_depth: int,
                    backend: str = "auto", leaf_size: int = 4,
                    dispersion: bool = False, reorder: object = "auto",
-                   jitter_cam=None, reorder_period: int = 1):
+                   jitter_cam=None, reorder_period: int = 1,
+                   reorder_from: object = "auto"):
     """``n_steps`` progressive samples in ONE dispatch.
 
     Per-call launch latency on a tunneled/remote TPU can reach hundreds of
@@ -797,7 +852,8 @@ def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
         res = trace_radiance(scene, ro, rd_i, k, max_depth, backend,
                              leaf_size, dispersion=dispersion,
                              reorder=reorder, primary0=primary0,
-                             reorder_period=reorder_period)
+                             reorder_period=reorder_period,
+                             reorder_from=reorder_from)
         return total + res.radiance, samples + 1, rays + res.rays_traced
 
     total, samples, rays = jax.lax.fori_loop(

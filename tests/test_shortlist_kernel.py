@@ -175,6 +175,32 @@ def test_reorder_period_is_bit_identical():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("rf", [2, 3, 6, 99])
+def test_reorder_from_is_bit_identical(rf):
+    """reorder_from=k runs looped iterations < k unsorted (they are
+    nearly fully live, so the dead-to-front packing has nothing to
+    pack). Unsorted iterations are the reorder=False code path, so the
+    output must match reorder_from=1 bitwise for any k."""
+    from scene_helpers import cornell_scene
+    from pathtracing_spectrum_tpu import camera_rays
+    from pathtracing_spectrum_tpu.engine import trace_radiance
+
+    sc = cornell_scene(depth=3)
+    scene = sc.compile()
+    ro, rd = camera_rays(sc.camera(), 16, 16)
+    rng = np.random.default_rng(11)
+    rand = jnp.asarray(rng.uniform(0, 1, (6, 4, 256)).astype(np.float32))
+    key = jax.random.key(0)
+    a = trace_radiance(scene, ro, rd, key, 3, backend="shortlist",
+                       rand_override=rand, reorder=True)
+    b = trace_radiance(scene, ro, rd, key, 3, backend="shortlist",
+                       rand_override=rand, reorder=True, reorder_from=rf)
+    np.testing.assert_array_equal(np.asarray(a.radiance),
+                                  np.asarray(b.radiance))
+    assert int(a.rays_traced) == int(b.rays_traced)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("knob,val,rtol", [
     ("_EARLY_EXIT", True, 1e-4), ("row_cull", True, 1e-4),
     ("_RB", 16, 1e-4),
@@ -432,6 +458,8 @@ def test_sweep_policy_defaults(monkeypatch):
     monkeypatch.setenv("PTS_MXU_SWEEP", "bf16x3")
     monkeypatch.setattr(isl, "_MXU_SWEEP", "bf16x3")
     assert sweep_policy("hier", on_tpu=True) == ("bf16x3", True)
+
+
     # PTS_ROW_CULL=0 disables row culling under the MXU default
     monkeypatch.delenv("PTS_MXU_SWEEP", raising=False)
     monkeypatch.setenv("PTS_ROW_CULL", "0")
@@ -443,6 +471,23 @@ def test_sweep_policy_defaults(monkeypatch):
     monkeypatch.setattr(isl, "_ROW_CULL", True)
     assert sweep_policy("hier", on_tpu=False) == (None, True)
     assert sweep_policy("hier", on_tpu=True, n_tris=100) == ("f32x6", True)
+
+
+def test_reorder_from_policy():
+    """Size-aware reorder_from default (measured table at
+    engine.REORDER_FROM_TINY_TRIS): tiny scenes skip the first two
+    bounce sorts, small ones the first, large ones none."""
+    from pathtracing_spectrum_tpu.engine import (REORDER_FROM_SMALL_TRIS,
+                                                 REORDER_FROM_TINY_TRIS,
+                                                 reorder_from_policy)
+    assert reorder_from_policy(2244, max_depth=3) == 4
+    assert reorder_from_policy(REORDER_FROM_TINY_TRIS - 1, 3) == 4
+    assert reorder_from_policy(REORDER_FROM_TINY_TRIS - 1, 5) == 8
+    assert reorder_from_policy(REORDER_FROM_TINY_TRIS - 1, 1) == 2
+    assert reorder_from_policy(REORDER_FROM_TINY_TRIS) == 2
+    assert reorder_from_policy(REORDER_FROM_SMALL_TRIS - 1) == 2
+    assert reorder_from_policy(REORDER_FROM_SMALL_TRIS) == 1
+    assert reorder_from_policy(246000) == 1
 
 
 def test_resolve_row_cull_env_sentinel(monkeypatch):

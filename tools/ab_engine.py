@@ -9,6 +9,9 @@ variant:
               engine.REORDER_AUTO_MIN_TRIS above the scene size)
   period2     reorder_period=2 — reuse the bounce permutation every
               other iteration (result-exact; see engine.trace_radiance)
+  from2/from3 reorder_from=2/3 — first looped iterations run unsorted
+              (nearly fully live: nothing to pack), sort kicks in later
+              (result-exact; see engine.trace_radiance)
 
 Kernel env knobs (PTS_SWEEP_SPAN, PTS_MXU_SWEEP, PTS_ROW_CULL, PTS_RB,
 ...) compose on top: set them on the command line. Run ONE variant per
@@ -27,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CONFIGS = {
     "textured": (16, 16),
+    "terrain_10k": (16, 16),
     "terrain_52k": (8, 8),
     "terrain_200k": (4, 4),
     "terrain_1m": (2, 2),
@@ -49,6 +53,11 @@ def main():
         orig = render_mod.render_samples
         render_mod.render_samples = (
             lambda *a, **k: orig(*a, reorder_period=2, **k))
+    elif variant in ("from2", "from3", "from4", "from5"):
+        rf = int(variant[-1])
+        orig = render_mod.render_samples
+        render_mod.render_samples = (
+            lambda *a, **k: orig(*a, reorder_from=rf, **k))
     elif variant != "base":
         raise SystemExit(f"unknown variant {variant!r}")
 
