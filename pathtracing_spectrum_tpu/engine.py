@@ -104,11 +104,13 @@ ROW_CULL_MIN_TRIS = 32768
 #   textured 1080p 2.2k tris: 2.79/2.87/2.95/2.98/ - /2.91 -> 4 wins
 #   terrain 512²   10k tris: 13.58/14.40/14.23/ - / - /13.85 -> 2 wins
 #   terrain 512²   52k tris:  7.62/ 6.08/ 5.38/ - / - / 4.64 -> 1 wins
-# Tiny scenes want only the LAST TWO iterations sorted (the sort's
+# Tiny scenes want only the LAST iteration sorted (the sort's
 # dead-to-front packing needs a mostly-dead wavefront to pack, which RR
 # only produces near the end); by ~10k tris the kernel-coherence value
-# already carries every sort after the first.
-REORDER_FROM_TINY_TRIS = 4096      # below: sort the last 2 iterations
+# already carries every sort after the first. Re-measured under the
+# RB=16 kernel default (v5e 2026-08-19): textured 1080p from4 3.236 vs
+# from5 3.363 spp/s — the h=4 sort never recoups its ~27 ms either.
+REORDER_FROM_TINY_TRIS = 4096      # below: sort the last iteration only
 REORDER_FROM_SMALL_TRIS = 32768    # below: skip the h=1 sort
 
 
@@ -117,7 +119,7 @@ def reorder_from_policy(n_tris: int, max_depth: int = 3) -> int:
     (see the measured table above). The loop runs ``2*max_depth - 1``
     sortable iterations (h = 1 .. 2*max_depth-1)."""
     if n_tris < REORDER_FROM_TINY_TRIS:
-        return max(2, 2 * max_depth - 2)
+        return max(2, 2 * max_depth - 1)
     if n_tris < REORDER_FROM_SMALL_TRIS:
         return 2
     return 1

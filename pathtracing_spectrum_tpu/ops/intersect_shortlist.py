@@ -40,12 +40,16 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect_pallas import BIG, CLUSTER, _LANES, _slab_block
 
 # Ray rows per kernel block (block = _RB x 128 rays). 8 is the f32 tile
-# height (the floor Mosaic can address) and the measured default; PTS_RB
-# (16/32, fresh process) trades looser per-block shortlist bounds against
-# fewer grid steps and, under the MXU sweep, amortizing each cluster's
-# lhs operand split over more row matmuls. Exact-match for any value
-# (hit selection is per-ray; pinned by the knob equivalence test).
-_RB = int(os.environ.get("PTS_RB", "8"))
+# height (the floor Mosaic can address); PTS_RB (fresh process) trades
+# looser per-block shortlist bounds against fewer grid steps and, under
+# the MXU sweep, amortizing each cluster's lhs operand split over more
+# row matmuls. Exact-match for any value (hit selection is per-ray;
+# pinned by the knob equivalence test). 16 is the measured production
+# default under the f32x6 MXU sweep (v5e 2026-08-19, in-context A/B,
+# spp/s RB=8 -> 16): textured 1080p 2.98 -> 3.24, terrain 52k
+# 7.71 -> 7.73, 246k 2.96 -> 3.08, 1M 0.82 -> 0.88; RB=32 regresses
+# (1080p 2.78 — per-block shortlist bounds get too loose).
+_RB = int(os.environ.get("PTS_RB", "16"))
 if _RB < 8 or (_RB & (_RB - 1)) or _RB > 256:
     raise ValueError(f"PTS_RB={_RB}: expected a power of two in [8, 256]")
 KC = 8                      # clusters per group

@@ -203,7 +203,7 @@ def test_reorder_from_is_bit_identical(rf):
 @pytest.mark.slow
 @pytest.mark.parametrize("knob,val,rtol", [
     ("_EARLY_EXIT", True, 1e-4), ("row_cull", True, 1e-4),
-    ("_RB", 16, 1e-4),
+    ("_RB", 8, 1e-4),
     ("mxu", "bf16x3", 1e-3), ("mxu", "f32x6", 1e-4),
     ("mxu+row_cull", "f32x6", 1e-4),
     ("fuse_rows", True, 1e-4), ("mxu+fuse_rows", "f32x6", 1e-4)])
@@ -475,14 +475,14 @@ def test_sweep_policy_defaults(monkeypatch):
 
 def test_reorder_from_policy():
     """Size-aware reorder_from default (measured table at
-    engine.REORDER_FROM_TINY_TRIS): tiny scenes skip the first two
-    bounce sorts, small ones the first, large ones none."""
+    engine.REORDER_FROM_TINY_TRIS): tiny scenes sort only the LAST
+    iteration, small ones skip the first sort, large ones skip none."""
     from pathtracing_spectrum_tpu.engine import (REORDER_FROM_SMALL_TRIS,
                                                  REORDER_FROM_TINY_TRIS,
                                                  reorder_from_policy)
-    assert reorder_from_policy(2244, max_depth=3) == 4
-    assert reorder_from_policy(REORDER_FROM_TINY_TRIS - 1, 3) == 4
-    assert reorder_from_policy(REORDER_FROM_TINY_TRIS - 1, 5) == 8
+    assert reorder_from_policy(2244, max_depth=3) == 5
+    assert reorder_from_policy(REORDER_FROM_TINY_TRIS - 1, 3) == 5
+    assert reorder_from_policy(REORDER_FROM_TINY_TRIS - 1, 5) == 9
     assert reorder_from_policy(REORDER_FROM_TINY_TRIS - 1, 1) == 2
     assert reorder_from_policy(REORDER_FROM_TINY_TRIS) == 2
     assert reorder_from_policy(REORDER_FROM_SMALL_TRIS - 1) == 2
