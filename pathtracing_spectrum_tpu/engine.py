@@ -93,6 +93,26 @@ DENSE_AUTO_MAX_TRIS = 512
 # 246k 80.2/89.4 (+11%) — crossover sits between 10k and 52k.
 ROW_CULL_MIN_TRIS = 32768
 
+# Clusters swept per kernel step (shortlist kernel ``span=``, exact-
+# match — see the kernel knob comment). Span s replaces s per-cluster
+# [64, K'] matmul+epilogue rounds with ONE [s*64, K'] matmul and ONE
+# epilogue, gated on the span's slab UNION. Big scenes sweep many
+# shortlisted clusters per block, so the saved epilogues dominate the
+# union's extra triangles; small scenes sweep ~2-3 clusters and the
+# union coarsening wins instead. In-context A/B (v5e 2026-08-19,
+# tools/ab_engine.py, spp/s at span = 1 / 2 / 4 / 8, production
+# defaults otherwise):
+#   textured 1080p  2.2k tris: 3.36 / 3.38 /  —   /  —   (wash)
+#   terrain 512²    10k tris: 14.40 /14.23 /  —   /  —   (wash)
+#   terrain 512²    52k tris:  7.78 / 8.61 / 8.86 /  —
+#   terrain 512²   246k tris:  3.08 / 3.61 / 3.74 / 3.60
+# span=4 + row_cull compose (row culling coarsens to the span's slab
+# union); at 246k span4 without row-cull collapses to 1.97. The
+# crossover tracks ROW_CULL_MIN_TRIS — both fire where shortlists are
+# long. PTS_SWEEP_SPAN overrides per process.
+SWEEP_SPAN_MIN_TRIS = 32768
+SWEEP_SPAN_LARGE = 4
+
 # Size-aware default for ``reorder_from`` (first looped bounce iteration
 # that sorts). Early iterations are nearly fully live, so the sort's
 # dead-to-front packing — its dominant value on small scenes — has
@@ -220,23 +240,26 @@ def _texture_flags(scene: SceneData):
 
 def sweep_policy(backend: str, on_tpu: bool | None = None,
                  n_tris: int | None = None):
-    """Resolve the (mxu scheme, row_cull) pair for the hierarchical
-    kernels. Measured production default (v5e 2026-08-18, loop-carried
-    chains at 246k tris — docs/tpu_cost_model.md "Hardware verdict"):
-    the K-fused f32x6 MXU sweep + per-row culling, worth +37% in-context
-    (2.72 vs 1.98 spp/s at 246k; 80.2 vs 112.4 ms/call on the kernel
-    chain). f32x6 is f32-ulp-faithful — hit/idx selection is identical
-    to the VPU sweep (pinned by tests), only last-ulp t differs — so it
-    is safe as a default. Row culling only pays when a culled row skips
-    a whole matmul, which needs both the MXU sweep and shortlists long
-    enough to skip from — size-aware via ROW_CULL_MIN_TRIS (at 2.2k tris
-    culling COSTS 35% of the intersect chain; n_tris=None means unknown,
-    assume large). Env overrides always win: PTS_MXU_SWEEP
-    (set-but-empty = force the VPU sweep) and PTS_ROW_CULL. Off-TPU
-    (CPU tests, interpret mode) keeps the VPU sweep and its bit-identity
-    with the dense kernel."""
+    """Resolve the (mxu scheme, row_cull, span) triple for the
+    hierarchical kernels. Measured production default (v5e 2026-08-18,
+    loop-carried chains at 246k tris — docs/tpu_cost_model.md "Hardware
+    verdict"): the K-fused f32x6 MXU sweep + per-row culling, worth
+    +37% in-context (2.72 vs 1.98 spp/s at 246k; 80.2 vs 112.4 ms/call
+    on the kernel chain). f32x6 is f32-ulp-faithful — hit/idx selection
+    is identical to the VPU sweep (pinned by tests), only last-ulp t
+    differs — so it is safe as a default. Row culling only pays when a
+    culled row skips a whole matmul, which needs both the MXU sweep and
+    shortlists long enough to skip from — size-aware via
+    ROW_CULL_MIN_TRIS (at 2.2k tris culling COSTS 35% of the intersect
+    chain; n_tris=None means unknown, assume large). span=4 fires on
+    the same large-scene regime (measured table at
+    SWEEP_SPAN_MIN_TRIS: +14%/+21% at 52k/246k, a wash below). Env
+    overrides always win: PTS_MXU_SWEEP (set-but-empty = force the VPU
+    sweep), PTS_ROW_CULL and PTS_SWEEP_SPAN. Off-TPU (CPU tests,
+    interpret mode) keeps the VPU sweep and its bit-identity with the
+    dense kernel."""
     if backend not in ("shortlist", "worklist", "hier"):
-        return None, False
+        return None, False, 1
     if on_tpu is None:
         on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
     from .ops import intersect_shortlist as isl
@@ -249,7 +272,14 @@ def sweep_policy(backend: str, on_tpu: bool | None = None,
     else:
         row_cull = (mxu is not None and on_tpu
                     and (n_tris is None or n_tris >= ROW_CULL_MIN_TRIS))
-    return mxu, row_cull
+    if "PTS_SWEEP_SPAN" in os.environ:
+        span = isl._SWEEP_SPAN
+    else:
+        span = (SWEEP_SPAN_LARGE
+                if (mxu is not None and on_tpu
+                    and (n_tris is None or n_tris >= SWEEP_SPAN_MIN_TRIS))
+                else 1)
+    return mxu, row_cull, span
 
 
 def make_intersector(scene: SceneData, backend: str, leaf_size: int = 4):
@@ -258,7 +288,7 @@ def make_intersector(scene: SceneData, backend: str, leaf_size: int = 4):
     the primary-hit hoist in :func:`render_samples`."""
     n_tris = scene.tri_shade.shape[0]
     backend = resolve_backend(backend, n_tris=n_tris)
-    mxu, row_cull = sweep_policy(backend, n_tris=n_tris)
+    mxu, row_cull, span = sweep_policy(backend, n_tris=n_tris)
     tri16 = (pack_tri16(scene.tri_face_n, scene.tri_k1, scene.tri_k2,
                         scene.tri_k3, scene.tri_consts)
              if backend in ("dense_pallas", "cluster", "shortlist",
@@ -296,7 +326,7 @@ def make_intersector(scene: SceneData, backend: str, leaf_size: int = 4):
             interp = jax.devices()[0].platform.lower() not in ("tpu", "axon")
             return intersect_shortlist_pallas_soa(
                 ox, oy, oz, dx, dy, dz, tri16, scene.cluster_aabbs,
-                interpret=interp, mxu=mxu, row_cull=row_cull)
+                interpret=interp, mxu=mxu, row_cull=row_cull, span=span)
         if backend == "cluster":
             return intersect_clustered_pallas_soa(
                 ox, oy, oz, dx, dy, dz, tri16, scene.cluster_aabbs)

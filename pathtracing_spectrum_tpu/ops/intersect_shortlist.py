@@ -122,11 +122,14 @@ def resolve_row_fuse(fuse_rows):
 # ``span`` arg): span s replaces s per-cluster matmul+epilogue rounds
 # with ONE [s*64, K'] matmul and ONE epilogue, gated on the span's slab
 # UNION — exact-match (extra candidates beyond a lane's bound can never
-# win the best-t compare). MEASURED LOSS on v5e (textured 1080p
-# intersect chain, f32x6: span 2/4/8 = 38.4/48.1/58.8 vs 36.3 ms/call
-# at span 1): blocks sweep only ~2-3 of their shortlisted clusters on
-# average, so the union gate mostly ADDS triangles that per-cluster
-# slabs would have skipped. Kept off-default as measurement gear.
+# win the best-t compare). SIZE-DEPENDENT (v5e 2026-08-19, in-context
+# A/B, spp/s at span 1/2/4/8): a wash at small scenes whose blocks
+# sweep ~2-3 shortlisted clusters (textured 1080p 3.36/3.38, terrain
+# 10k 14.40/14.23 — the union gate mostly ADDS triangles per-cluster
+# slabs would have skipped) but a big WIN where shortlists are long:
+# terrain 52k 7.78/8.61/8.86, 246k 3.08/3.61/3.74/3.60 — the saved
+# epilogues dominate. Production default: engine.sweep_policy selects
+# span=4 at >= 32k tris on real TPU; PTS_SWEEP_SPAN overrides.
 _SWEEP_SPAN = int(os.environ.get("PTS_SWEEP_SPAN", "1"))
 
 

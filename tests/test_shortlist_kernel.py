@@ -428,49 +428,60 @@ def test_superblock_shortlists_match_bruteforce(sb):
 
 def test_sweep_policy_defaults(monkeypatch):
     """The engine's production sweep policy (docs/tpu_cost_model.md
-    "Hardware verdict"): f32x6 + row-cull on real TPU for the
-    hierarchical kernels, VPU (bit-identical) everywhere else, with
-    PTS_MXU_SWEEP / PTS_ROW_CULL always winning."""
+    "Hardware verdict"): f32x6 + row-cull + span=4 on real TPU for the
+    hierarchical kernels at large scenes, VPU (bit-identical, span 1)
+    everywhere else, with PTS_MXU_SWEEP / PTS_ROW_CULL / PTS_SWEEP_SPAN
+    always winning."""
     from pathtracing_spectrum_tpu.engine import sweep_policy
     monkeypatch.delenv("PTS_MXU_SWEEP", raising=False)
     monkeypatch.delenv("PTS_ROW_CULL", raising=False)
-    assert sweep_policy("hier", on_tpu=True) == ("f32x6", True)
-    assert sweep_policy("shortlist", on_tpu=True) == ("f32x6", True)
-    assert sweep_policy("worklist", on_tpu=True) == ("f32x6", True)
+    monkeypatch.delenv("PTS_SWEEP_SPAN", raising=False)
+    assert sweep_policy("hier", on_tpu=True) == ("f32x6", True, 4)
+    assert sweep_policy("shortlist", on_tpu=True) == ("f32x6", True, 4)
+    assert sweep_policy("worklist", on_tpu=True) == ("f32x6", True, 4)
     # off-TPU (CPU tests / interpret): keep the bit-identical VPU sweep
-    assert sweep_policy("hier", on_tpu=False) == (None, False)
+    assert sweep_policy("hier", on_tpu=False) == (None, False, 1)
     # non-hierarchical backends never take the MXU sweep
-    assert sweep_policy("dense_pallas", on_tpu=True) == (None, False)
-    assert sweep_policy("cluster", on_tpu=True) == (None, False)
-    # size-aware row culling: below ROW_CULL_MIN_TRIS the per-row slab
-    # tests are pure overhead (measured -35% at 2.2k tris), so small
-    # scenes keep the MXU sweep but drop the culling
+    assert sweep_policy("dense_pallas", on_tpu=True) == (None, False, 1)
+    assert sweep_policy("cluster", on_tpu=True) == (None, False, 1)
+    # size-aware row culling + span: below the 32k-tri thresholds the
+    # per-row slab tests are pure overhead (measured -35% at 2.2k tris)
+    # and the span union gate is a wash, so small scenes keep the MXU
+    # sweep but drop both
     from pathtracing_spectrum_tpu.engine import ROW_CULL_MIN_TRIS
     assert sweep_policy("hier", on_tpu=True,
-                        n_tris=ROW_CULL_MIN_TRIS - 1) == ("f32x6", False)
+                        n_tris=ROW_CULL_MIN_TRIS - 1) == ("f32x6", False, 1)
     assert sweep_policy("hier", on_tpu=True,
-                        n_tris=ROW_CULL_MIN_TRIS) == ("f32x6", True)
+                        n_tris=ROW_CULL_MIN_TRIS) == ("f32x6", True, 4)
     # set-but-empty PTS_MXU_SWEEP forces the VPU sweep even on TPU
     monkeypatch.setenv("PTS_MXU_SWEEP", "")
     monkeypatch.setattr(isl, "_MXU_SWEEP", None)
-    assert sweep_policy("hier", on_tpu=True) == (None, False)
+    assert sweep_policy("hier", on_tpu=True) == (None, False, 1)
     # explicit scheme override rides through
     monkeypatch.setenv("PTS_MXU_SWEEP", "bf16x3")
     monkeypatch.setattr(isl, "_MXU_SWEEP", "bf16x3")
-    assert sweep_policy("hier", on_tpu=True) == ("bf16x3", True)
+    assert sweep_policy("hier", on_tpu=True) == ("bf16x3", True, 4)
 
 
     # PTS_ROW_CULL=0 disables row culling under the MXU default
     monkeypatch.delenv("PTS_MXU_SWEEP", raising=False)
     monkeypatch.setenv("PTS_ROW_CULL", "0")
     monkeypatch.setattr(isl, "_ROW_CULL", False)
-    assert sweep_policy("hier", on_tpu=True) == ("f32x6", False)
+    assert sweep_policy("hier", on_tpu=True) == ("f32x6", False, 4)
     # ...and PTS_ROW_CULL=1 turns it on even under the VPU sweep or
     # below the size threshold
     monkeypatch.setenv("PTS_ROW_CULL", "1")
     monkeypatch.setattr(isl, "_ROW_CULL", True)
-    assert sweep_policy("hier", on_tpu=False) == (None, True)
-    assert sweep_policy("hier", on_tpu=True, n_tris=100) == ("f32x6", True)
+    assert sweep_policy("hier", on_tpu=False) == (None, True, 1)
+    assert sweep_policy("hier", on_tpu=True, n_tris=100) == ("f32x6", True, 1)
+    # PTS_SWEEP_SPAN overrides the size gate in both directions
+    monkeypatch.delenv("PTS_ROW_CULL", raising=False)
+    monkeypatch.setenv("PTS_SWEEP_SPAN", "2")
+    monkeypatch.setattr(isl, "_SWEEP_SPAN", 2)
+    assert sweep_policy("hier", on_tpu=True, n_tris=100)[2] == 2
+    monkeypatch.setenv("PTS_SWEEP_SPAN", "1")
+    monkeypatch.setattr(isl, "_SWEEP_SPAN", 1)
+    assert sweep_policy("hier", on_tpu=True)[2] == 1
 
 
 def test_reorder_from_policy():
