@@ -320,7 +320,7 @@ def make_intersector(scene: SceneData, backend: str, leaf_size: int = 4):
             interp = jax.devices()[0].platform.lower() not in ("tpu", "axon")
             return intersect_worklist_pallas_soa(
                 ox, oy, oz, dx, dy, dz, tri16, scene.cluster_aabbs,
-                interpret=interp, mxu=mxu)
+                interpret=interp, mxu=mxu, row_cull=row_cull, span=span)
         if backend_here == "shortlist":
             from .ops.intersect_shortlist import intersect_shortlist_pallas_soa
             interp = jax.devices()[0].platform.lower() not in ("tpu", "axon")

@@ -392,6 +392,19 @@ def ray_exit_caps(rox, roy, roz, rdx, rdy, rdz, lo, hi,
     return cap * (1.0 + margin) + margin
 
 
+def tighten_caps(cap, t_ub, margin: float = 1e-4):
+    """Fold a per-ray hit-t upper bound into the sweep-cap plane.
+
+    ``t_ub`` must satisfy ``t_ub >= t_true`` for every ray (e.g. the
+    closest-hit t against any SUBSET of the scene's triangles — a
+    subset hit is a real hit, so its t bounds the true closest t from
+    above; misses contribute BIG). The margin absorbs the few-ulp
+    difference between the kernels' slab culling arithmetic and the
+    triangle-plane t the bound came from — the same invariant as
+    :func:`ray_exit_caps`, so hit selection stays exact."""
+    return jnp.minimum(cap, t_ub * (1.0 + margin) + margin)
+
+
 def _interval_quotient(nlo, nhi, dlo, dhi):
     """Interval [nlo,nhi] / [dlo,dhi] for sign-constant denominators."""
     a, b = nlo / dlo, nlo / dhi
@@ -721,13 +734,19 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
                                    sb: int = 0, mxu: str | None = "env",
                                    row_cull: bool | str = "env",
                                    fuse_rows: bool | str = "env",
-                                   span: int | str = "env"):
+                                   span: int | str = "env",
+                                   t_ub=None):
     """Closest hit via the shortlist-driven cluster kernel.
 
     Args:
       rox..rdz: [N] ray component planes (parked rays: rd == 0).
       tri_pack: [T, 16] packed table (pack_tri16), BVH-ordered.
       cluster_aabbs: [ceil(T/CLUSTER), 8] from build_cluster_aabbs.
+      t_ub: optional [N] per-ray upper bound on the closest-hit t
+        (see :func:`tighten_caps`): tightens the sweep-cap plane, so
+        both the stage-1 shortlists and the cluster sweep cull against
+        ~the true hit distance instead of the root-box exit. Exactness
+        is the cap-margin invariant, unchanged.
       sb: super-block factor override (0 = auto from the SMEM budget).
       mxu: MXU sweep scheme (None, "bf16", "bf16x3", "f32x6") or "env"
         to defer to PTS_MXU_SWEEP — see the module knob comment.
@@ -768,6 +787,8 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
     pad_n = (-n) % block
     # root-box slab-exit sweep cap as a 7th ray plane
     comps = rays_with_exit_caps(rox, roy, roz, rdx, rdy, rdz, cluster_aabbs)
+    if t_ub is not None:
+        comps = comps[:6] + (tighten_caps(comps[6], t_ub),)
     if pad_n:
         zeros = jnp.zeros((pad_n,), rox.dtype)
         comps = tuple(jnp.concatenate([c, zeros]) for c in comps)

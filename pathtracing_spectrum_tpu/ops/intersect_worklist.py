@@ -68,7 +68,7 @@ KC_DEFAULT = 8
 
 def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
                aabb_ref, best_t_ref, best_i_ref, best_s2_ref, best_s3_ref,
-               *scratch, rows, kc, group_t, mxu):
+               *scratch, rows, kc, group_t, mxu, row_cull=False, span=1):
     w = pl.program_id(0)
     blk = wl_block_ref[w]
     prev = wl_block_ref[jnp.maximum(w - 1, 0)]
@@ -98,100 +98,126 @@ def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
         inv_xb = 1.0 / rdx_b
         inv_yb = 1.0 / rdy_b
         inv_zb = 1.0 / rdz_b
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, _LANES), 0)
+        span_t = span * CLUSTER
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (span_t, _LANES), 0)
 
-        for c in range(kc):
+        for c in range(0, kc, span):
             # bound by running best-t AND the ray's root-box exit cap
-            # (plane 6): miss rays never tighten best_t, the cap does
+            # (plane 6): miss rays never tighten best_t, the cap does.
+            # span > 1 sweeps `span` adjacent clusters as one [span*64]
+            # triangle block gated on the UNION of their slab hits —
+            # exact-match, same argument as the shortlist kernel.
+            bound = jnp.minimum(best_t_ref[:], ray_ref[6])
             slab = _slab_block(
                 rox_b, roy_b, roz_b, inv_xb, inv_yb, inv_zb,
                 aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2],
                 aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5],
-                jnp.minimum(best_t_ref[:], ray_ref[6]))
+                bound)
+            for d in range(1, span):
+                slab = slab | _slab_block(
+                    rox_b, roy_b, roz_b, inv_xb, inv_yb, inv_zb,
+                    aabb_ref[c + d, 0], aabb_ref[c + d, 1],
+                    aabb_ref[c + d, 2], aabb_ref[c + d, 3],
+                    aabb_ref[c + d, 4], aabb_ref[c + d, 5],
+                    bound)
+            # per-ROW culling (8x finer than whole-block; int32 — Mosaic
+            # can only extract 32-bit scalars)
+            row_any = (jnp.any(slab, axis=1).astype(jnp.int32) if row_cull
+                       else None)
 
             @pl.when(jnp.any(slab))
-            def _(c=c):
+            def _(c=c, row_any=row_any):
                 base = c * CLUSTER
                 if mxu:
-                    lhs = isl._mxu_lhs_chunks(tri_ref, base, mxu)
+                    lhs = isl._mxu_lhs_chunks(tri_ref, base, mxu, span_t)
                 else:
-                    nx = tri_ref[base:base + CLUSTER, 0:1]
-                    ny = tri_ref[base:base + CLUSTER, 1:2]
-                    nz = tri_ref[base:base + CLUSTER, 2:3]
-                    k1x = tri_ref[base:base + CLUSTER, 3:4]
-                    k1y = tri_ref[base:base + CLUSTER, 4:5]
-                    k1z = tri_ref[base:base + CLUSTER, 5:6]
-                    k2x = tri_ref[base:base + CLUSTER, 6:7]
-                    k2y = tri_ref[base:base + CLUSTER, 7:8]
-                    k2z = tri_ref[base:base + CLUSTER, 8:9]
-                    k3x = tri_ref[base:base + CLUSTER, 9:10]
-                    k3y = tri_ref[base:base + CLUSTER, 10:11]
-                    k3z = tri_ref[base:base + CLUSTER, 11:12]
-                    c0 = tri_ref[base:base + CLUSTER, 12:13]
-                    c1 = tri_ref[base:base + CLUSTER, 13:14]
-                    c2 = tri_ref[base:base + CLUSTER, 14:15]
-                    c3 = tri_ref[base:base + CLUSTER, 15:16]
+                    nx = tri_ref[base:base + span_t, 0:1]
+                    ny = tri_ref[base:base + span_t, 1:2]
+                    nz = tri_ref[base:base + span_t, 2:3]
+                    k1x = tri_ref[base:base + span_t, 3:4]
+                    k1y = tri_ref[base:base + span_t, 4:5]
+                    k1z = tri_ref[base:base + span_t, 5:6]
+                    k2x = tri_ref[base:base + span_t, 6:7]
+                    k2y = tri_ref[base:base + span_t, 7:8]
+                    k2z = tri_ref[base:base + span_t, 8:9]
+                    k3x = tri_ref[base:base + span_t, 9:10]
+                    k3y = tri_ref[base:base + span_t, 10:11]
+                    k3z = tri_ref[base:base + span_t, 11:12]
+                    c0 = tri_ref[base:base + span_t, 12:13]
+                    c1 = tri_ref[base:base + span_t, 13:14]
+                    c2 = tri_ref[base:base + span_t, 14:15]
+                    c3 = tri_ref[base:base + span_t, 15:16]
                 tri_base = gidx * group_t + base
 
                 for r in range(rows):
-                    if mxu:
-                        denom, t, s1, s2, s3 = isl._mxu_sweep_row(
-                            lhs, scratch, r, mxu)
+                    def _row_body(r=r):
+                        if mxu:
+                            denom, t, s1, s2, s3 = isl._mxu_sweep_row(
+                                lhs, scratch, r, mxu)
+                        else:
+                            rox = ray_ref[0, r:r + 1, :]
+                            roy = ray_ref[1, r:r + 1, :]
+                            roz = ray_ref[2, r:r + 1, :]
+                            rdx = ray_ref[3, r:r + 1, :]
+                            rdy = ray_ref[4, r:r + 1, :]
+                            rdz = ray_ref[5, r:r + 1, :]
+
+                            denom = rdx * nx + rdy * ny + rdz * nz
+                            ro_n = rox * nx + roy * ny + roz * nz
+                            safe = jnp.where(denom == 0.0, 1.0, denom)
+                            t = (c0 - ro_n) / safe
+                            px = rox + t * rdx
+                            py = roy + t * rdy
+                            pz = roz + t * rdz
+                            s1 = px * k1x + py * k1y + pz * k1z - c1
+                            s2 = px * k2x + py * k2y + pz * k2z - c2
+                            s3 = px * k3x + py * k3y + pz * k3z - c3
+                        valid = ((denom != 0.0) & (t >= 0.0)
+                                 & (s1 >= 0.0) & (s2 >= 0.0) & (s3 >= 0.0))
+                        tt = jnp.where(valid, t, BIG)
+
+                        tmin = jnp.min(tt, axis=0, keepdims=True)
+                        cand = jnp.where(tt == tmin, lane_iota, span_t)
+                        amin = jnp.min(cand, axis=0,
+                                       keepdims=True).astype(jnp.int32)
+                        win = lane_iota == amin
+                        s2_sel = jnp.sum(jnp.where(win, s2, 0.0), axis=0,
+                                         keepdims=True)
+                        s3_sel = jnp.sum(jnp.where(win, s3, 0.0), axis=0,
+                                         keepdims=True)
+
+                        cur_t = best_t_ref[r:r + 1, :]
+                        # groups arrive front-to-back (not index order):
+                        # exact ties take the explicit lowest-index rule to
+                        # stay bit-identical to the dense sweep
+                        tie = ((tmin == cur_t) & (tmin < BIG)
+                               & (tri_base + amin < best_i_ref[r:r + 1, :]))
+                        better = ((tmin < cur_t) & (tmin < BIG)) | tie
+                        best_t_ref[r:r + 1, :] = jnp.where(better, tmin,
+                                                           cur_t)
+                        best_i_ref[r:r + 1, :] = jnp.where(
+                            better, tri_base + amin, best_i_ref[r:r + 1, :])
+                        best_s2_ref[r:r + 1, :] = jnp.where(
+                            better, s2_sel, best_s2_ref[r:r + 1, :])
+                        best_s3_ref[r:r + 1, :] = jnp.where(
+                            better, s3_sel, best_s3_ref[r:r + 1, :])
+
+                    if row_cull:
+                        pl.when(row_any[r] != 0)(_row_body)
                     else:
-                        rox = ray_ref[0, r:r + 1, :]
-                        roy = ray_ref[1, r:r + 1, :]
-                        roz = ray_ref[2, r:r + 1, :]
-                        rdx = ray_ref[3, r:r + 1, :]
-                        rdy = ray_ref[4, r:r + 1, :]
-                        rdz = ray_ref[5, r:r + 1, :]
-
-                        denom = rdx * nx + rdy * ny + rdz * nz
-                        ro_n = rox * nx + roy * ny + roz * nz
-                        safe = jnp.where(denom == 0.0, 1.0, denom)
-                        t = (c0 - ro_n) / safe
-                        px = rox + t * rdx
-                        py = roy + t * rdy
-                        pz = roz + t * rdz
-                        s1 = px * k1x + py * k1y + pz * k1z - c1
-                        s2 = px * k2x + py * k2y + pz * k2z - c2
-                        s3 = px * k3x + py * k3y + pz * k3z - c3
-                    valid = ((denom != 0.0) & (t >= 0.0)
-                             & (s1 >= 0.0) & (s2 >= 0.0) & (s3 >= 0.0))
-                    tt = jnp.where(valid, t, BIG)
-
-                    tmin = jnp.min(tt, axis=0, keepdims=True)
-                    cand = jnp.where(tt == tmin, lane_iota, CLUSTER)
-                    amin = jnp.min(cand, axis=0,
-                                   keepdims=True).astype(jnp.int32)
-                    win = lane_iota == amin
-                    s2_sel = jnp.sum(jnp.where(win, s2, 0.0), axis=0,
-                                     keepdims=True)
-                    s3_sel = jnp.sum(jnp.where(win, s3, 0.0), axis=0,
-                                     keepdims=True)
-
-                    cur_t = best_t_ref[r:r + 1, :]
-                    # groups arrive front-to-back (not index order): exact
-                    # ties take the explicit lowest-index rule to stay
-                    # bit-identical to the dense sweep
-                    tie = ((tmin == cur_t) & (tmin < BIG)
-                           & (tri_base + amin < best_i_ref[r:r + 1, :]))
-                    better = ((tmin < cur_t) & (tmin < BIG)) | tie
-                    best_t_ref[r:r + 1, :] = jnp.where(better, tmin, cur_t)
-                    best_i_ref[r:r + 1, :] = jnp.where(
-                        better, tri_base + amin, best_i_ref[r:r + 1, :])
-                    best_s2_ref[r:r + 1, :] = jnp.where(
-                        better, s2_sel, best_s2_ref[r:r + 1, :])
-                    best_s3_ref[r:r + 1, :] = jnp.where(
-                        better, s3_sel, best_s3_ref[r:r + 1, :])
+                        _row_body()
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "bpb", "kc", "mxu"))
+                   static_argnames=("interpret", "bpb", "kc", "mxu",
+                                    "row_cull", "span"))
 def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
                                   cluster_aabbs, interpret: bool = False,
                                   bpb: int = BUDGET_PER_BLOCK,
                                   kc: int = KC_DEFAULT,
-                                  mxu: str | None = "env"):
+                                  mxu: str | None = "env",
+                                  row_cull: bool | str = "env",
+                                  span: int | str = "env"):
     """Closest hit via the pooled-worklist kernel.
 
     Args:
@@ -204,11 +230,20 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
         DMA granularity.
       mxu: MXU sweep scheme (None, "bf16", "bf16x3", "f32x6") or "env"
         to defer to PTS_MXU_SWEEP — see intersect_shortlist's knob.
+      row_cull: per-row cluster culling (exact-match) or "env" for
+        PTS_ROW_CULL — same trade as the shortlist kernel's knob.
+      span: adjacent clusters swept per step (1, 2, 4 or 8; must divide
+        kc), or "env" for PTS_SWEEP_SPAN — exact-match, see the
+        shortlist kernel's knob comment.
 
     Returns (hit [N] bool, t [N], idx [N] int32, s2 [N], s3 [N]),
     idx in BVH order — identical selection to the dense sweep.
     """
     mxu = isl.resolve_mxu(mxu)
+    row_cull = isl.resolve_row_cull(row_cull)
+    span = isl.resolve_span(span)
+    if kc % span:
+        raise ValueError(f"span={span} must divide kc={kc}")
     n = rox.shape[0]
     t_count = tri_pack.shape[0]
 
@@ -287,7 +322,8 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
         )
         return pl.pallas_call(
             functools.partial(_wl_kernel, rows=_RB, kc=kc,
-                              group_t=group_t, mxu=mxu),
+                              group_t=group_t, mxu=mxu,
+                              row_cull=row_cull, span=span),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),
@@ -316,7 +352,8 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
         # round-2 kernel: grid (NB, G), handles any shortlist total
         hit, t, i, s2, s3 = intersect_shortlist_pallas_soa(
             rox, roy, roz, rdx, rdy, rdz, tri_pack[:t_count],
-            cluster_aabbs, interpret=interpret, mxu=mxu)
+            cluster_aabbs, interpret=interpret, mxu=mxu,
+            row_cull=row_cull, span=span)
         pad = jnp.zeros((pad_n,), jnp.float32)
         padi = jnp.zeros((pad_n,), jnp.int32)
         return (jnp.concatenate([t, jnp.full((pad_n,), BIG, jnp.float32)])

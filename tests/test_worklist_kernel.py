@@ -13,7 +13,8 @@ import pathtracing_spectrum_tpu.ops.intersect_worklist as iwl
 from test_shortlist_kernel import _rays, _soup
 
 
-def _check_equal(geo, tri16, caabb, ro, rd, bpb, rtol=1e-4, mxu="env"):
+def _check_equal(geo, tri16, caabb, ro, rd, bpb, rtol=1e-4, mxu="env",
+                 row_cull="env", span="env"):
     v1, e1, e2, fn, k1, k2, k3, consts = geo
     h0, t0, i0, _, _ = intersect_bruteforce(
         jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(fn), jnp.asarray(k1),
@@ -21,7 +22,8 @@ def _check_equal(geo, tri16, caabb, ro, rd, bpb, rtol=1e-4, mxu="env"):
     h1, t1, i1, s2, s3 = iwl.intersect_worklist_pallas_soa(
         *(jnp.asarray(ro[:, k]) for k in range(3)),
         *(jnp.asarray(rd[:, k]) for k in range(3)),
-        tri16, caabb, interpret=True, bpb=bpb, mxu=mxu)
+        tri16, caabb, interpret=True, bpb=bpb, mxu=mxu,
+        row_cull=row_cull, span=span)
     h0, h1 = np.asarray(h0), np.asarray(h1)
     np.testing.assert_array_equal(h0, h1)
     m = h0
@@ -50,6 +52,30 @@ def test_worklist_mxu_sweep_matches_bruteforce(scheme):
                  bpb=iwl.BUDGET_PER_BLOCK,
                  rtol=1e-3 if scheme == "bf16x3" else 1e-4,
                  mxu=scheme)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("row_cull,span", [
+    (True, 1), (False, 2), (False, 4), (True, 4), (False, 8)])
+def test_worklist_knobs_match_bruteforce(row_cull, span):
+    """row_cull and span are exact-match in the worklist kernel too
+    (same argument as the shortlist knobs: row culling only skips rows
+    whose slab gate is all-false, span unions adjacent slab gates and
+    extra candidates past a lane's bound can never win the compare)."""
+    geo, tri16, caabb = _soup(1100, seed=5)
+    ro, rd = _rays(2048, seed=6)
+    _check_equal(geo, tri16, caabb, ro, rd, bpb=iwl.BUDGET_PER_BLOCK,
+                 mxu=None, row_cull=row_cull, span=span)
+
+
+@pytest.mark.slow
+def test_worklist_mxu_knob_stack_matches_bruteforce():
+    """The production large-scene stack (f32x6 + row_cull + span=4)
+    composed through the worklist kernel."""
+    geo, tri16, caabb = _soup(2300, seed=15)
+    ro, rd = _rays(1024, seed=16)
+    _check_equal(geo, tri16, caabb, ro, rd, bpb=iwl.BUDGET_PER_BLOCK,
+                 mxu="f32x6", row_cull=True, span=4)
 
 
 @pytest.mark.slow
