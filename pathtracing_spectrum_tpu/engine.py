@@ -113,6 +113,12 @@ ROW_CULL_MIN_TRIS = 32768
 SWEEP_SPAN_MIN_TRIS = 32768
 SWEEP_SPAN_LARGE = 4
 
+# MXU sweep scheme by size: bf16x3 (K=48) in the large-scene regime
+# where span=4 makes the fused matmul big enough for the halved K to
+# show (+2-3% in-context at 52k/246k/1M, docs/tpu_cost_model.md),
+# f32x6 (K=96, f32-ulp-faithful) below where the difference is noise.
+MXU_BF16X3_MIN_TRIS = 32768
+
 # Size-aware default for ``reorder_from`` (first looped bounce iteration
 # that sorts). Early iterations are nearly fully live, so the sort's
 # dead-to-front packing — its dominant value on small scenes — has
@@ -253,7 +259,14 @@ def sweep_policy(backend: str, on_tpu: bool | None = None,
     ROW_CULL_MIN_TRIS (at 2.2k tris culling COSTS 35% of the intersect
     chain; n_tris=None means unknown, assume large). span=4 fires on
     the same large-scene regime (measured table at
-    SWEEP_SPAN_MIN_TRIS: +14%/+21% at 52k/246k, a wash below). Env
+    SWEEP_SPAN_MIN_TRIS: +14%/+21% at 52k/246k, a wash below). In that
+    regime the scheme drops f32x6 -> bf16x3: with span=4 the fused
+    matmul is big enough that halving K from 96 to 48 finally shows
+    (in-context spp/s, v5e 2026-08-19: 246k 3.86 vs 3.75, 52k 9.03 vs
+    8.84, 1M 1.57 vs 1.53; a wash at 2.2k). bf16x3 is value-faithful
+    (~2^-18 relative t; 100% hit/idx match pinned across scene scales
+    by test_mxu_sweep_schemes_across_scene_scales); small scenes keep
+    the ulp-faithful f32x6 where the speed difference is noise. Env
     overrides always win: PTS_MXU_SWEEP (set-but-empty = force the VPU
     sweep), PTS_ROW_CULL and PTS_SWEEP_SPAN. Off-TPU (CPU tests,
     interpret mode) keeps the VPU sweep and its bit-identity with the
@@ -265,8 +278,11 @@ def sweep_policy(backend: str, on_tpu: bool | None = None,
     from .ops import intersect_shortlist as isl
     if "PTS_MXU_SWEEP" in os.environ:
         mxu = isl._MXU_SWEEP
+    elif not on_tpu:
+        mxu = None
     else:
-        mxu = "f32x6" if on_tpu else None
+        mxu = ("bf16x3" if (n_tris is None or n_tris >= MXU_BF16X3_MIN_TRIS)
+               else "f32x6")
     if "PTS_ROW_CULL" in os.environ:
         row_cull = isl._ROW_CULL
     else:
@@ -359,7 +375,8 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                    reorder: object = "auto",
                    primary0=None,
                    reorder_period: int = 1,
-                   reorder_from: object = "auto") -> TraceResult:
+                   reorder_from: object = "auto",
+                   reorder_freeze: int = 0) -> TraceResult:
     """Trace radiance spectra for a batch of rays.
 
     Args:
@@ -408,6 +425,16 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         ray-order-independent, pinned by test_reorder_is_bit_identical
         / test_reorder_from_is_bit_identical). Ignored on the
         ``reorder_period >= 2`` path.
+      reorder_freeze: if > 0, the LAST fresh sort happens at iteration
+        ``reorder_freeze``; later iterations reuse that permutation
+        (skip the key + two segmented argsorts, keep both row gathers).
+        Late bounce iterations are mostly dead, and dead lanes never
+        revive — a frozen permutation keeps them packed at the front
+        forever; only the few still-live lanes' octant/morton grouping
+        goes stale. Result-exact for any value (same argument as
+        ``perm_in``). 0 = never freeze. Ignored on the
+        ``reorder_period >= 2`` path and when it lands before
+        ``reorder_from``'s first sort.
 
     Returns:
       TraceResult(radiance [N, nw], rays_traced scalar).
@@ -776,11 +803,24 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                                       functools.partial(body,
                                                         do_sort=False),
                                       state)
+        freeze = (min(int(reorder_freeze), 2 * max_depth - 1)
+                  if reorder_freeze and do_reorder else 0)
+        last_fresh = freeze if freeze >= first_sorted else 2 * max_depth
         state = jax.lax.fori_loop(first_sorted if do_reorder else 1,
-                                  2 * max_depth,
+                                  min(last_fresh, 2 * max_depth),
                                   functools.partial(body,
                                                     do_sort=do_reorder),
                                   state)
+        if do_reorder and first_sorted <= last_fresh < 2 * max_depth:
+            # freeze: one more fresh sort that also returns its
+            # permutation, then reuse it for the remaining iterations
+            # (see the reorder_freeze arg note — result-exact)
+            state, pi = body(last_fresh, state, do_sort=True,
+                             want_perm=True)
+            state = jax.lax.fori_loop(last_fresh + 1, 2 * max_depth,
+                                      functools.partial(body, do_sort=True,
+                                                        perm_in=pi),
+                                      state)
     throughput_t, radiance_t, alive, rays_traced = (state[6], state[7],
                                                     state[9], state[10])
 
@@ -818,14 +858,16 @@ def render_sample(scene: SceneData, ro, rd, total, samples, key,
 @functools.partial(jax.jit,
                    static_argnames=("n_steps", "max_depth", "backend",
                                     "leaf_size", "dispersion", "reorder",
-                                    "reorder_period", "reorder_from"),
+                                    "reorder_period", "reorder_from",
+                                    "reorder_freeze"),
                    donate_argnums=(3,))
 def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
                    counter0, n_steps: int, max_depth: int,
                    backend: str = "auto", leaf_size: int = 4,
                    dispersion: bool = False, reorder: object = "auto",
                    jitter_cam=None, reorder_period: int = 1,
-                   reorder_from: object = "auto"):
+                   reorder_from: object = "auto",
+                   reorder_freeze: int = 0):
     """``n_steps`` progressive samples in ONE dispatch.
 
     Per-call launch latency on a tunneled/remote TPU can reach hundreds of
@@ -885,7 +927,8 @@ def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
                              leaf_size, dispersion=dispersion,
                              reorder=reorder, primary0=primary0,
                              reorder_period=reorder_period,
-                             reorder_from=reorder_from)
+                             reorder_from=reorder_from,
+                             reorder_freeze=reorder_freeze)
         return total + res.radiance, samples + 1, rays + res.rays_traced
 
     total, samples, rays = jax.lax.fori_loop(

@@ -142,6 +142,28 @@ def resolve_span(span):
     if span not in (1, 2, 4, 8):
         raise ValueError(f"span={span}: expected 1, 2, 4 or 8")
     return span
+
+
+# Selection-gate knob (PTS_SEL_GATE=1): per (row, span-step), run the
+# winner SELECTION half of the epilogue (arg-min lane iota reduce, the
+# two one-hot s2/s3 select reduces, the four best-ref updates) under
+# ``pl.when(any((tmin <= cur_t) & (tmin < BIG)))``. The gate is a
+# superset of ``better`` (better requires tmin <= cur_t and tmin < BIG
+# in both its < and tie branches), so skipped steps could never have
+# updated any ref — exact-match by construction, pinned by the knob
+# equivalence tests. On a front-to-back walk most swept steps improve
+# no lane (the first hit ends improvement for the whole row), so this
+# trades one cheap [1, LANES] compare + scalar branch for 3 of the 4
+# [span_t, LANES] reduces.
+_SEL_GATE = os.environ.get("PTS_SEL_GATE") == "1"
+
+
+def resolve_sel_gate(sel_gate):
+    """Resolve a kernel ``sel_gate=`` argument: the "env" sentinel
+    defers to PTS_SEL_GATE (module flag, so tests can patch it)."""
+    if sel_gate == "env":
+        return _SEL_GATE
+    return bool(sel_gate)
 # MXU sweep: compute ALL 8 ray.K dot-product families of the triangle
 # predicate as ONE [CLUSTER, 16] x [16, 8*LANES] matmul per (row,
 # cluster) — the VPU sweep (~40 broadcast ops) is the measured wall on
@@ -513,7 +535,7 @@ def build_shortlists(rays, group_aabb, group_valid, block_rows: int = _RB):
 
 
 def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu, row_cull,
-               fused=False, span=1):
+               fused=False, span=1, sel_gate=False):
     # tnear rides as a third prefetch array ONLY when the early-exit knob
     # is on — prefetch args are copied to SMEM whether read or not (they
     # are pallas_call operands, invisible to XLA DCE), so the unused array
@@ -684,30 +706,43 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu, row_cull,
                         tt = jnp.where(valid, t, BIG)
 
                         tmin = jnp.min(tt, axis=0, keepdims=True)
-                        cand = jnp.where(tt == tmin, lane_iota, span_t)
-                        amin = jnp.min(cand, axis=0,
-                                       keepdims=True).astype(jnp.int32)
-                        win = lane_iota == amin
-                        s2_sel = jnp.sum(jnp.where(win, s2, 0.0), axis=0,
-                                         keepdims=True)
-                        s3_sel = jnp.sum(jnp.where(win, s3, 0.0), axis=0,
-                                         keepdims=True)
-
                         cur_t = best_t_ref[r:r + 1, :]
-                        # groups arrive front-to-back (not in index order),
-                        # so exact ties need the explicit lowest-index rule
-                        # to stay bit-identical to the dense sweep
-                        tie = ((tmin == cur_t) & (tmin < BIG)
-                               & (tri_base + amin < best_i_ref[r:r + 1, :]))
-                        better = ((tmin < cur_t) & (tmin < BIG)) | tie
-                        best_t_ref[r:r + 1, :] = jnp.where(better, tmin,
-                                                           cur_t)
-                        best_i_ref[r:r + 1, :] = jnp.where(
-                            better, tri_base + amin, best_i_ref[r:r + 1, :])
-                        best_s2_ref[r:r + 1, :] = jnp.where(
-                            better, s2_sel, best_s2_ref[r:r + 1, :])
-                        best_s3_ref[r:r + 1, :] = jnp.where(
-                            better, s3_sel, best_s3_ref[r:r + 1, :])
+
+                        def _select(tmin=tmin, cur_t=cur_t, tt=tt,
+                                    s2=s2, s3=s3, r=r):
+                            cand = jnp.where(tt == tmin, lane_iota, span_t)
+                            amin = jnp.min(cand, axis=0,
+                                           keepdims=True).astype(jnp.int32)
+                            win = lane_iota == amin
+                            s2_sel = jnp.sum(jnp.where(win, s2, 0.0),
+                                             axis=0, keepdims=True)
+                            s3_sel = jnp.sum(jnp.where(win, s3, 0.0),
+                                             axis=0, keepdims=True)
+                            # groups arrive front-to-back (not in index
+                            # order), so exact ties need the explicit
+                            # lowest-index rule to stay bit-identical to
+                            # the dense sweep
+                            tie = ((tmin == cur_t) & (tmin < BIG)
+                                   & (tri_base + amin
+                                      < best_i_ref[r:r + 1, :]))
+                            better = ((tmin < cur_t) & (tmin < BIG)) | tie
+                            best_t_ref[r:r + 1, :] = jnp.where(
+                                better, tmin, cur_t)
+                            best_i_ref[r:r + 1, :] = jnp.where(
+                                better, tri_base + amin,
+                                best_i_ref[r:r + 1, :])
+                            best_s2_ref[r:r + 1, :] = jnp.where(
+                                better, s2_sel, best_s2_ref[r:r + 1, :])
+                            best_s3_ref[r:r + 1, :] = jnp.where(
+                                better, s3_sel, best_s3_ref[r:r + 1, :])
+
+                        if sel_gate:
+                            # superset of `better` (see _SEL_GATE): a
+                            # skipped step could not have updated any ref
+                            pl.when(jnp.any((tmin <= cur_t)
+                                            & (tmin < BIG)))(_select)
+                        else:
+                            _select()
 
                     if row_cull:
                         pl.when(row_any[r] != 0)(_row_body)
@@ -728,13 +763,14 @@ def _sl_kernel(counts_ref, sl_ref, *refs, rows, kc, sb, mxu, row_cull,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "sb", "mxu", "row_cull",
-                                    "fuse_rows", "span"))
+                                    "fuse_rows", "span", "sel_gate"))
 def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
                                    cluster_aabbs, interpret: bool = False,
                                    sb: int = 0, mxu: str | None = "env",
                                    row_cull: bool | str = "env",
                                    fuse_rows: bool | str = "env",
                                    span: int | str = "env",
+                                   sel_gate: bool | str = "env",
                                    t_ub=None):
     """Closest hit via the shortlist-driven cluster kernel.
 
@@ -768,6 +804,7 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
     row_cull = resolve_row_cull(row_cull)
     fuse_rows = resolve_row_fuse(fuse_rows)
     span = resolve_span(span)
+    sel_gate = resolve_sel_gate(sel_gate)
     if fuse_rows and row_cull:
         raise ValueError("fuse_rows and row_cull are mutually exclusive "
                          "(a fused block has no rows to cull)")
@@ -879,7 +916,8 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
     )
     best_t, best_i, best_s2, best_s3 = pl.pallas_call(
         functools.partial(_sl_kernel, rows=krows, kc=KC, sb=sb, mxu=mxu,
-                          row_cull=row_cull, fused=fuse_rows, span=span),
+                          row_cull=row_cull, fused=fuse_rows, span=span,
+                          sel_gate=sel_gate),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),

@@ -68,7 +68,8 @@ KC_DEFAULT = 8
 
 def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
                aabb_ref, best_t_ref, best_i_ref, best_s2_ref, best_s3_ref,
-               *scratch, rows, kc, group_t, mxu, row_cull=False, span=1):
+               *scratch, rows, kc, group_t, mxu, row_cull=False, span=1,
+               sel_gate=False):
     w = pl.program_id(0)
     blk = wl_block_ref[w]
     prev = wl_block_ref[jnp.maximum(w - 1, 0)]
@@ -177,30 +178,43 @@ def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
                         tt = jnp.where(valid, t, BIG)
 
                         tmin = jnp.min(tt, axis=0, keepdims=True)
-                        cand = jnp.where(tt == tmin, lane_iota, span_t)
-                        amin = jnp.min(cand, axis=0,
-                                       keepdims=True).astype(jnp.int32)
-                        win = lane_iota == amin
-                        s2_sel = jnp.sum(jnp.where(win, s2, 0.0), axis=0,
-                                         keepdims=True)
-                        s3_sel = jnp.sum(jnp.where(win, s3, 0.0), axis=0,
-                                         keepdims=True)
-
                         cur_t = best_t_ref[r:r + 1, :]
-                        # groups arrive front-to-back (not index order):
-                        # exact ties take the explicit lowest-index rule to
-                        # stay bit-identical to the dense sweep
-                        tie = ((tmin == cur_t) & (tmin < BIG)
-                               & (tri_base + amin < best_i_ref[r:r + 1, :]))
-                        better = ((tmin < cur_t) & (tmin < BIG)) | tie
-                        best_t_ref[r:r + 1, :] = jnp.where(better, tmin,
-                                                           cur_t)
-                        best_i_ref[r:r + 1, :] = jnp.where(
-                            better, tri_base + amin, best_i_ref[r:r + 1, :])
-                        best_s2_ref[r:r + 1, :] = jnp.where(
-                            better, s2_sel, best_s2_ref[r:r + 1, :])
-                        best_s3_ref[r:r + 1, :] = jnp.where(
-                            better, s3_sel, best_s3_ref[r:r + 1, :])
+
+                        def _select(tmin=tmin, cur_t=cur_t, tt=tt,
+                                    s2=s2, s3=s3, r=r):
+                            cand = jnp.where(tt == tmin, lane_iota, span_t)
+                            amin = jnp.min(cand, axis=0,
+                                           keepdims=True).astype(jnp.int32)
+                            win = lane_iota == amin
+                            s2_sel = jnp.sum(jnp.where(win, s2, 0.0),
+                                             axis=0, keepdims=True)
+                            s3_sel = jnp.sum(jnp.where(win, s3, 0.0),
+                                             axis=0, keepdims=True)
+                            # groups arrive front-to-back (not index
+                            # order): exact ties take the explicit
+                            # lowest-index rule to stay bit-identical to
+                            # the dense sweep
+                            tie = ((tmin == cur_t) & (tmin < BIG)
+                                   & (tri_base + amin
+                                      < best_i_ref[r:r + 1, :]))
+                            better = ((tmin < cur_t) & (tmin < BIG)) | tie
+                            best_t_ref[r:r + 1, :] = jnp.where(
+                                better, tmin, cur_t)
+                            best_i_ref[r:r + 1, :] = jnp.where(
+                                better, tri_base + amin,
+                                best_i_ref[r:r + 1, :])
+                            best_s2_ref[r:r + 1, :] = jnp.where(
+                                better, s2_sel, best_s2_ref[r:r + 1, :])
+                            best_s3_ref[r:r + 1, :] = jnp.where(
+                                better, s3_sel, best_s3_ref[r:r + 1, :])
+
+                        if sel_gate:
+                            # superset of `better` (see isl._SEL_GATE): a
+                            # skipped step could not have updated any ref
+                            pl.when(jnp.any((tmin <= cur_t)
+                                            & (tmin < BIG)))(_select)
+                        else:
+                            _select()
 
                     if row_cull:
                         pl.when(row_any[r] != 0)(_row_body)
@@ -210,14 +224,15 @@ def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "bpb", "kc", "mxu",
-                                    "row_cull", "span"))
+                                    "row_cull", "span", "sel_gate"))
 def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
                                   cluster_aabbs, interpret: bool = False,
                                   bpb: int = BUDGET_PER_BLOCK,
                                   kc: int = KC_DEFAULT,
                                   mxu: str | None = "env",
                                   row_cull: bool | str = "env",
-                                  span: int | str = "env"):
+                                  span: int | str = "env",
+                                  sel_gate: bool | str = "env"):
     """Closest hit via the pooled-worklist kernel.
 
     Args:
@@ -242,6 +257,7 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
     mxu = isl.resolve_mxu(mxu)
     row_cull = isl.resolve_row_cull(row_cull)
     span = isl.resolve_span(span)
+    sel_gate = isl.resolve_sel_gate(sel_gate)
     if kc % span:
         raise ValueError(f"span={span} must divide kc={kc}")
     n = rox.shape[0]
@@ -323,7 +339,8 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
         return pl.pallas_call(
             functools.partial(_wl_kernel, rows=_RB, kc=kc,
                               group_t=group_t, mxu=mxu,
-                              row_cull=row_cull, span=span),
+                              row_cull=row_cull, span=span,
+                              sel_gate=sel_gate),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),

@@ -201,6 +201,33 @@ def test_reorder_from_is_bit_identical(rf):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("rf", [2, 3, 5, 99])
+def test_reorder_freeze_is_bit_identical(rf):
+    """reorder_freeze=k reuses iteration k's permutation for every later
+    iteration (dead lanes never revive, so the frozen dead-to-front
+    packing stays valid; only live-lane grouping goes stale). Any
+    permutation is result-exact, so the output must match an unfrozen
+    run bitwise for any k."""
+    from scene_helpers import cornell_scene
+    from pathtracing_spectrum_tpu import camera_rays
+    from pathtracing_spectrum_tpu.engine import trace_radiance
+
+    sc = cornell_scene(depth=3)
+    scene = sc.compile()
+    ro, rd = camera_rays(sc.camera(), 16, 16)
+    rng = np.random.default_rng(11)
+    rand = jnp.asarray(rng.uniform(0, 1, (6, 4, 256)).astype(np.float32))
+    key = jax.random.key(0)
+    a = trace_radiance(scene, ro, rd, key, 3, backend="shortlist",
+                       rand_override=rand, reorder=True)
+    b = trace_radiance(scene, ro, rd, key, 3, backend="shortlist",
+                       rand_override=rand, reorder=True, reorder_freeze=rf)
+    np.testing.assert_array_equal(np.asarray(a.radiance),
+                                  np.asarray(b.radiance))
+    assert int(a.rays_traced) == int(b.rays_traced)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("knob,val,rtol", [
     ("_EARLY_EXIT", True, 1e-4), ("row_cull", True, 1e-4),
     ("_RB", 8, 1e-4),
@@ -296,6 +323,29 @@ def test_sweep_span_matches_span1(span):
     for x, y, name in zip(a, b, ("hit", "t", "idx", "s2", "s3")):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
                                       err_msg=f"span={span} {name}")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mxu,row_cull,span", [
+    (None, False, 1), ("f32x6", True, 4), ("bf16x3", True, 4)])
+def test_sel_gate_bitwise_identical(mxu, row_cull, span):
+    """sel_gate skips the winner-selection epilogue under
+    any((tmin <= cur_t) & (tmin < BIG)) — a superset of `better`, so a
+    skipped step could never have updated any best ref: outputs must be
+    BITWISE identical to the ungated kernel per knob combination."""
+    geo, tri16, caabb = _soup(700, seed=8)
+    ro, rd = _rays(2048, seed=9)
+    args = ([jnp.asarray(ro[:, k]) for k in range(3)]
+            + [jnp.asarray(rd[:, k]) for k in range(3)])
+    a = isl.intersect_shortlist_pallas_soa(
+        *args, tri16, caabb, interpret=True, mxu=mxu, row_cull=row_cull,
+        span=span, sel_gate=False)
+    b = isl.intersect_shortlist_pallas_soa(
+        *args, tri16, caabb, interpret=True, mxu=mxu, row_cull=row_cull,
+        span=span, sel_gate=True)
+    for x, y, name in zip(a, b, ("hit", "t", "idx", "s2", "s3")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=f"mxu={mxu} {name}")
 
 
 def test_resolve_span_validates():
@@ -428,17 +478,17 @@ def test_superblock_shortlists_match_bruteforce(sb):
 
 def test_sweep_policy_defaults(monkeypatch):
     """The engine's production sweep policy (docs/tpu_cost_model.md
-    "Hardware verdict"): f32x6 + row-cull + span=4 on real TPU for the
-    hierarchical kernels at large scenes, VPU (bit-identical, span 1)
-    everywhere else, with PTS_MXU_SWEEP / PTS_ROW_CULL / PTS_SWEEP_SPAN
-    always winning."""
+    "Hardware verdict"): bf16x3 + row-cull + span=4 on real TPU for the
+    hierarchical kernels at large scenes (f32x6 below the 32k-tri
+    regime), VPU (bit-identical, span 1) everywhere else, with
+    PTS_MXU_SWEEP / PTS_ROW_CULL / PTS_SWEEP_SPAN always winning."""
     from pathtracing_spectrum_tpu.engine import sweep_policy
     monkeypatch.delenv("PTS_MXU_SWEEP", raising=False)
     monkeypatch.delenv("PTS_ROW_CULL", raising=False)
     monkeypatch.delenv("PTS_SWEEP_SPAN", raising=False)
-    assert sweep_policy("hier", on_tpu=True) == ("f32x6", True, 4)
-    assert sweep_policy("shortlist", on_tpu=True) == ("f32x6", True, 4)
-    assert sweep_policy("worklist", on_tpu=True) == ("f32x6", True, 4)
+    assert sweep_policy("hier", on_tpu=True) == ("bf16x3", True, 4)
+    assert sweep_policy("shortlist", on_tpu=True) == ("bf16x3", True, 4)
+    assert sweep_policy("worklist", on_tpu=True) == ("bf16x3", True, 4)
     # off-TPU (CPU tests / interpret): keep the bit-identical VPU sweep
     assert sweep_policy("hier", on_tpu=False) == (None, False, 1)
     # non-hierarchical backends never take the MXU sweep
@@ -452,22 +502,22 @@ def test_sweep_policy_defaults(monkeypatch):
     assert sweep_policy("hier", on_tpu=True,
                         n_tris=ROW_CULL_MIN_TRIS - 1) == ("f32x6", False, 1)
     assert sweep_policy("hier", on_tpu=True,
-                        n_tris=ROW_CULL_MIN_TRIS) == ("f32x6", True, 4)
+                        n_tris=ROW_CULL_MIN_TRIS) == ("bf16x3", True, 4)
     # set-but-empty PTS_MXU_SWEEP forces the VPU sweep even on TPU
     monkeypatch.setenv("PTS_MXU_SWEEP", "")
     monkeypatch.setattr(isl, "_MXU_SWEEP", None)
     assert sweep_policy("hier", on_tpu=True) == (None, False, 1)
     # explicit scheme override rides through
-    monkeypatch.setenv("PTS_MXU_SWEEP", "bf16x3")
-    monkeypatch.setattr(isl, "_MXU_SWEEP", "bf16x3")
-    assert sweep_policy("hier", on_tpu=True) == ("bf16x3", True, 4)
+    monkeypatch.setenv("PTS_MXU_SWEEP", "f32x6")
+    monkeypatch.setattr(isl, "_MXU_SWEEP", "f32x6")
+    assert sweep_policy("hier", on_tpu=True) == ("f32x6", True, 4)
 
 
     # PTS_ROW_CULL=0 disables row culling under the MXU default
     monkeypatch.delenv("PTS_MXU_SWEEP", raising=False)
     monkeypatch.setenv("PTS_ROW_CULL", "0")
     monkeypatch.setattr(isl, "_ROW_CULL", False)
-    assert sweep_policy("hier", on_tpu=True) == ("f32x6", False, 4)
+    assert sweep_policy("hier", on_tpu=True) == ("bf16x3", False, 4)
     # ...and PTS_ROW_CULL=1 turns it on even under the VPU sweep or
     # below the size threshold
     monkeypatch.setenv("PTS_ROW_CULL", "1")

@@ -14,7 +14,7 @@ from test_shortlist_kernel import _rays, _soup
 
 
 def _check_equal(geo, tri16, caabb, ro, rd, bpb, rtol=1e-4, mxu="env",
-                 row_cull="env", span="env"):
+                 row_cull="env", span="env", sel_gate="env"):
     v1, e1, e2, fn, k1, k2, k3, consts = geo
     h0, t0, i0, _, _ = intersect_bruteforce(
         jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(fn), jnp.asarray(k1),
@@ -23,7 +23,7 @@ def _check_equal(geo, tri16, caabb, ro, rd, bpb, rtol=1e-4, mxu="env",
         *(jnp.asarray(ro[:, k]) for k in range(3)),
         *(jnp.asarray(rd[:, k]) for k in range(3)),
         tri16, caabb, interpret=True, bpb=bpb, mxu=mxu,
-        row_cull=row_cull, span=span)
+        row_cull=row_cull, span=span, sel_gate=sel_gate)
     h0, h1 = np.asarray(h0), np.asarray(h1)
     np.testing.assert_array_equal(h0, h1)
     m = h0
@@ -76,6 +76,18 @@ def test_worklist_mxu_knob_stack_matches_bruteforce():
     ro, rd = _rays(1024, seed=16)
     _check_equal(geo, tri16, caabb, ro, rd, bpb=iwl.BUDGET_PER_BLOCK,
                  mxu="f32x6", row_cull=True, span=4)
+
+
+@pytest.mark.slow
+def test_worklist_sel_gate_matches_bruteforce():
+    """sel_gate composed with the full production stack through the
+    worklist kernel (bitwise identity to the ungated kernel is pinned
+    in test_shortlist_kernel; here the stacked result must still equal
+    brute force)."""
+    geo, tri16, caabb = _soup(2300, seed=15)
+    ro, rd = _rays(1024, seed=16)
+    _check_equal(geo, tri16, caabb, ro, rd, bpb=iwl.BUDGET_PER_BLOCK,
+                 mxu="f32x6", row_cull=True, span=4, sel_gate=True)
 
 
 @pytest.mark.slow

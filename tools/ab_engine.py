@@ -58,6 +58,11 @@ def main():
         orig = render_mod.render_samples
         render_mod.render_samples = (
             lambda *a, **k: orig(*a, reorder_from=rf, **k))
+    elif variant.startswith("freeze"):
+        fz = int(variant[len("freeze"):])
+        orig = render_mod.render_samples
+        render_mod.render_samples = (
+            lambda *a, **k: orig(*a, reorder_freeze=fz, **k))
     elif variant != "base":
         raise SystemExit(f"unknown variant {variant!r}")
 
