@@ -319,13 +319,17 @@ def make_intersector(scene: SceneData, backend: str, leaf_size: int = 4):
             # ~2-3% faster while its [NB, G] prefetch arrays fit SMEM
             # (measured 52k/246k/1080p); the pooled-worklist kernel takes
             # over in the super-blocking regime where per-block shortlists
-            # would otherwise coarsen (its prefetch is O(W), not O(NB*G))
+            # would otherwise coarsen (its prefetch is O(W), not O(NB*G)).
+            # PTS_HIER_BACKEND forces one side per process (A/B gear).
             from .ops.intersect_shortlist import (_LANES as _L, _RB as _R,
                                                   GROUP_T,
                                                   _SMEM_SHORTLIST_BYTES)
             nb = -(-ox.shape[0] // (_R * _L))
             n_groups = -(-n_tris // GROUP_T)
-            if nb * n_groups * 4 > _SMEM_SHORTLIST_BYTES:
+            forced = os.environ.get("PTS_HIER_BACKEND")
+            if forced in ("shortlist", "worklist"):
+                backend_here = forced
+            elif nb * n_groups * 4 > _SMEM_SHORTLIST_BYTES:
                 backend_here = "worklist"
             else:
                 backend_here = "shortlist"

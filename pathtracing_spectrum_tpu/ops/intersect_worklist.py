@@ -42,6 +42,7 @@ lowest-index tie rule (front-to-back group order within each block).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -54,9 +55,33 @@ from .intersect_shortlist import (_RB, build_shortlists,
                                   group_aabbs_from_clusters,
                                   intersect_shortlist_pallas_soa)
 
-# Default pooled budget: worklist entries per ray block (the pool is
-# shared; this is an AVERAGE, not a per-block cap).
-BUDGET_PER_BLOCK = 16
+# Pooled budget: worklist entries per ray block (the pool is shared;
+# this is an AVERAGE, not a per-block cap). Both failure directions are
+# real and were measured at 1M tris / 512² (G=1020, NB=128, in-context
+# spp/s, v5e 2026-08-19):
+#   bpb   16     64     128    256    512
+#   spp/s 1.565  1.699  1.741  1.778  1.639
+# UNDERsizing: a bounce-ray wavefront whose shortlist TOTAL exceeds the
+# pool falls back to the round-2 (NB, G) grid, whose skipped steps cost
+# ~1 µs each (130k steps ≈ 130 ms/call — the round-3 1M intersect wall
+# at the old fixed bpb=16). OVERsizing: entries past the total clamp to
+# the last (block, group) pair — the pipeline skips their DMA and
+# compute but still pays the same ~1 µs/step bookkeeping (bpb=512's
+# regression). The auto default (bpb=0) sizes the pool to ~G/4,
+# clamped to [16, 256] and to the SMEM budget across NB blocks.
+# PTS_WL_BPB forces a fixed value per process.
+BUDGET_PER_BLOCK = int(os.environ.get("PTS_WL_BPB", "0"))
+_SMEM_WL_ENTRIES = 64 * 1024      # 256 KiB per i32 prefetch array
+
+
+def resolve_bpb(bpb: int, n_groups: int, nb: int) -> int:
+    """Resolve the pooled budget: explicit > env > size-aware auto."""
+    if bpb > 0:
+        return bpb
+    if BUDGET_PER_BLOCK > 0:
+        return BUDGET_PER_BLOCK
+    return min(max(16, n_groups // 4), 256,
+               max(16, _SMEM_WL_ENTRIES // max(nb, 1)))
 
 # Default clusters (of 128 BVH-ordered triangles) per worklist group.
 # Smaller groups = finer stage-1 culling granularity (fewer dead
@@ -227,7 +252,7 @@ def _wl_kernel(wl_block_ref, wl_group_ref, wl_active_ref, ray_ref, tri_ref,
                                     "row_cull", "span", "sel_gate"))
 def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
                                   cluster_aabbs, interpret: bool = False,
-                                  bpb: int = BUDGET_PER_BLOCK,
+                                  bpb: int = 0,
                                   kc: int = KC_DEFAULT,
                                   mxu: str | None = "env",
                                   row_cull: bool | str = "env",
@@ -239,8 +264,11 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
       rox..rdz: [N] ray component planes (parked rays: rd == 0).
       tri_pack: [T, 16] packed table (pack_tri16), BVH-ordered.
       cluster_aabbs: [ceil(T/CLUSTER), 8] from build_cluster_aabbs.
-      bpb: pooled worklist budget per ray block (shared pool; see module
-        docstring). Totals above the pool fall back to the round-2 kernel.
+      bpb: pooled worklist budget per ray block (shared pool; see the
+        measured table at BUDGET_PER_BLOCK). Totals above the pool fall
+        back to the round-2 kernel. 0 (default) = size-aware auto
+        (~n_groups/4 clamped to [16, 256] and the SMEM budget);
+        PTS_WL_BPB forces a fixed value per process.
       kc: clusters (of 128 triangles) per group — the stage-1 culling and
         DMA granularity.
       mxu: MXU sweep scheme (None, "bf16", "bf16x3", "f32x6") or "env"
@@ -297,6 +325,7 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
                                              block_rows=_RB)
 
     # ---- worklist assembly (XLA; no big sorts/scatters) ----
+    bpb = resolve_bpb(bpb, n_groups, nb)
     w_budget = nb * min(n_groups, bpb)
     counts_eff = jnp.maximum(counts, 1)     # >=1 entry: first-visit init
     ends = jnp.cumsum(counts_eff)

@@ -78,6 +78,19 @@ def test_worklist_mxu_knob_stack_matches_bruteforce():
                  mxu="f32x6", row_cull=True, span=4)
 
 
+def test_resolve_bpb_policy():
+    """Size-aware pooled-budget default (~G/4, clamped to [16, 256] and
+    the SMEM budget across NB blocks — measured table at
+    BUDGET_PER_BLOCK: undersizing falls back to the (NB, G) grid's dead
+    steps, oversizing pays ~1 µs per inactive pool entry)."""
+    assert iwl.resolve_bpb(7, 1000, 128) == 7          # explicit wins
+    assert iwl.resolve_bpb(0, 1020, 128) == 255        # 1M terrain
+    assert iwl.resolve_bpb(0, 241, 128) == 60          # 246k terrain
+    assert iwl.resolve_bpb(0, 51, 128) == 16           # floor
+    assert iwl.resolve_bpb(0, 8160, 128) == 256        # cap
+    assert iwl.resolve_bpb(0, 1020, 4096) == 16        # SMEM clamp
+
+
 @pytest.mark.slow
 def test_worklist_sel_gate_matches_bruteforce():
     """sel_gate composed with the full production stack through the
