@@ -26,6 +26,8 @@ Design notes (all measured on a v5e — see docs/tpu_cost_model.md):
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from .ops.intersect_shortlist import root_bounds
@@ -43,8 +45,11 @@ REORDER_POS_BITS = 4
 # Segment size for the segmented sorts (64 blocks of 1024 rays). Rays
 # only move within their segment — dead-ray compaction and octant
 # grouping become per-segment, which block-level culling is equally
-# happy with.
-REORDER_SEGMENT = 65536
+# happy with. Each segment boundary can leave one octant-MIXED kernel
+# block whose shortlist spans two octants' groups; PTS_REORDER_SEGMENT
+# exists to A/B that against the bitonic network's n log^2 n growth
+# (result-exact either way — any permutation is).
+REORDER_SEGMENT = int(os.environ.get("PTS_REORDER_SEGMENT", "65536"))
 
 
 def segment_for(n: int) -> int:
