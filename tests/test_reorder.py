@@ -60,6 +60,37 @@ def test_sort_key_morton_false_keeps_only_dead_bit():
         {1 << (3 * REORDER_POS_BITS + 3)}
 
 
+def test_reorder_segment_size_is_result_exact(monkeypatch):
+    """REORDER_SEGMENT (PTS_REORDER_SEGMENT) only changes the sort's
+    segment partition — any segment-local permutation is result-exact,
+    so renders under different segment sizes must match bitwise. Uses
+    2048 rays so the small setting actually produces TWO segments
+    (segment boundaries are the thing under test) and the dense backend
+    so the check runs fast on CPU."""
+    import jax
+    import pytest
+
+    from scene_helpers import cornell_scene
+    from pathtracing_spectrum_tpu import camera_rays, reorder
+    from pathtracing_spectrum_tpu.engine import trace_radiance
+
+    sc = cornell_scene(depth=3)
+    scene = sc.compile()
+    ro, rd = camera_rays(sc.camera(), 64, 32)          # 2048 rays
+    rng = np.random.default_rng(11)
+    rand = jnp.asarray(rng.uniform(0, 1, (6, 4, 2048)).astype(np.float32))
+    key = jax.random.key(0)
+    out = []
+    for seg in (1024, 2048):                           # 2 segments vs global
+        monkeypatch.setattr(reorder, "REORDER_SEGMENT", seg)
+        assert reorder.segment_for(2048) == seg
+        out.append(trace_radiance(scene, ro, rd, key, 3, backend="dense",
+                                  rand_override=rand, reorder=True))
+    np.testing.assert_array_equal(np.asarray(out[0].radiance),
+                                  np.asarray(out[1].radiance))
+    assert int(out[0].rays_traced) == int(out[1].rays_traced)
+
+
 def test_engines_share_the_same_key_function():
     """The three engines must literally reference reorder.sort_key —
     a re-implementation sneaking back in would defeat the consolidation
