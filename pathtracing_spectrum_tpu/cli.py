@@ -203,6 +203,11 @@ def cmd_render(args) -> int:
             if live_path and session.samples >= live_next:
                 viewer.save_png(session.result(), max(args.channel, 0),
                                 live_path)
+                if args.png_srgb:
+                    # device XYZ->sRGB epilogue: only uint8 crosses the wire
+                    from PIL import Image as PILImage
+                    PILImage.fromarray(session.result_srgb(),
+                                       mode="RGB").save(args.png_srgb)
                 if args.ascii:
                     print("\n" + viewer.ascii_preview(session.result(),
                                                       max(args.channel, 0)))
@@ -238,7 +243,11 @@ def cmd_render(args) -> int:
             for p in viewer.save_all_channels_png(img, args.png):
                 print(f"wrote {p}")
     if args.png_srgb:
-        viewer.save_srgb_png(img, scene.wavelengths, args.png_srgb)
+        # device epilogue (viewer.spectral_to_srgb_device) when the session
+        # still holds a device accumulator; host fallback otherwise
+        from PIL import Image as PILImage
+        PILImage.fromarray(session.result_srgb(), mode="RGB").save(
+            args.png_srgb)
         print(f"wrote {args.png_srgb}")
     if args.checkpoint:
         session.save_checkpoint(args.checkpoint)

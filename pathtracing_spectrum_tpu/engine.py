@@ -145,7 +145,10 @@ def reorder_from_policy(n_tris: int, max_depth: int = 3) -> int:
     (see the measured table above). The loop runs ``2*max_depth - 1``
     sortable iterations (h = 1 .. 2*max_depth-1)."""
     if n_tris < REORDER_FROM_TINY_TRIS:
-        return max(2, 2 * max_depth - 1)
+        # 2*max_depth - 1 is the last sortable iteration; unclamped so
+        # depth 1 still sorts its single looped iteration (the old
+        # max(2, ...) floor silently turned depth-1 into never-sort)
+        return 2 * max_depth - 1
     if n_tris < REORDER_FROM_SMALL_TRIS:
         return 2
     return 1

@@ -80,8 +80,15 @@ def resolve_bpb(bpb: int, n_groups: int, nb: int) -> int:
         return bpb
     if BUDGET_PER_BLOCK > 0:
         return BUDGET_PER_BLOCK
-    return min(max(16, n_groups // 4), 256,
-               max(16, _SMEM_WL_ENTRIES // max(nb, 1)))
+    smem_cap = _SMEM_WL_ENTRIES // max(nb, 1)
+    if smem_cap < 16:
+        # > 4096 blocks: even a 16-entry pool would blow the 64k-entry
+        # SMEM budget across the prefetch arrays. Return the honest cap
+        # (>= 1) — the tiny pool keeps SMEM bounded, and shortlist totals
+        # above it route to the round-2 kernel, whose super-blocking
+        # handles SMEM at any scale.
+        return max(smem_cap, 1)
+    return min(max(16, n_groups // 4), 256, smem_cap)
 
 # Default clusters (of 128 BVH-ordered triangles) per worklist group.
 # Smaller groups = finer stage-1 culling granularity (fewer dead
@@ -399,7 +406,7 @@ def intersect_worklist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
         hit, t, i, s2, s3 = intersect_shortlist_pallas_soa(
             rox, roy, roz, rdx, rdy, rdz, tri_pack[:t_count],
             cluster_aabbs, interpret=interpret, mxu=mxu,
-            row_cull=row_cull, span=span)
+            row_cull=row_cull, span=span, sel_gate=sel_gate)
         pad = jnp.zeros((pad_n,), jnp.float32)
         padi = jnp.zeros((pad_n,), jnp.int32)
         return (jnp.concatenate([t, jnp.full((pad_n,), BIG, jnp.float32)])

@@ -470,6 +470,33 @@ class RenderSession:
             out = out[self._inv_perm]
         return out.reshape(h, w, nw)
 
+    def result_srgb(self, exposure: float = 0.0) -> np.ndarray:
+        """Running mean as uint8 sRGB [H, W, 3] via the DEVICE epilogue
+        (viewer.spectral_to_srgb_device): the CMF weighting, auto-expose
+        percentile, sRGB matrix and gamma run on the accumulator's device,
+        so only 3 uint8 planes cross the tunnel — the [H, W, nw] f32
+        spectral image never does. Per-pixel + one global percentile, so
+        it commutes with the tile-order unscramble (applied after, on
+        uint8)."""
+        from . import viewer
+
+        w, h = self.resolution
+        if self._out is None or (self.persistent
+                                 and getattr(self, "_wf", None) is not None):
+            # no device accumulator to convert on (or the experimental
+            # wavefront pool owns it): host path on result()
+            return viewer.spectral_to_srgb(self.result(),
+                                           self.scene.wavelengths,
+                                           exposure=exposure)
+        out = self._out
+        if self._sharding is not None:
+            out = self._sharding.gather(out)   # [N, nw] (host on gather)
+        srgb = np.asarray(viewer.spectral_to_srgb_device(
+            out, self.scene.wavelengths, exposure=exposure))
+        if self._inv_perm is not None:
+            srgb = srgb[self._inv_perm]
+        return srgb.reshape(h, w, 3)
+
     def stats(self) -> dict:
         s = self.samples
         return {

@@ -114,10 +114,51 @@ def spectral_to_srgb(image: np.ndarray, wavenumbers,
     return np.clip(srgb * 255.0, 0.0, 255.0).astype(np.uint8)
 
 
-def save_srgb_png(image: np.ndarray, wavenumbers, path: str,
+def spectral_to_srgb_device(image, wavenumbers, exposure: float = 0.0,
+                            auto_expose: bool = True):
+    """Device (jnp) sRGB epilogue: [..., nw] spectral -> uint8 [..., 3].
+
+    The same pipeline as :func:`spectral_to_srgb` (CMF weighting, 99.5th
+    percentile auto-exposure, D65 sRGB matrix, gamma) run ON the
+    accumulator's device, so a live viewer or ``--png-srgb`` reads back
+    3 uint8 planes instead of the full f32 spectral image. f32 where the
+    host path is f64 — agreement within 1-2 uint8 steps (pinned by
+    test_cli_viewer.test_srgb_device_matches_host).
+    """
+    import jax.numpy as jnp
+
+    img = jnp.nan_to_num(jnp.asarray(image, jnp.float32), nan=0.0)
+    # the CMF fit is nw tiny host-side values; the H*W*nw work is on device
+    lam_nm = 1e7 / np.maximum(np.asarray(wavenumbers, np.float64), 1e-9)
+    cmf = jnp.asarray(cie_xyz_bar(lam_nm), jnp.float32)       # [nw, 3]
+    xyz = img @ cmf
+    if auto_expose:
+        ref = jnp.percentile(xyz[..., 1], 99.5)
+        xyz = jnp.where(ref > 0, xyz / jnp.where(ref > 0, ref, 1.0), xyz)
+    xyz = xyz * jnp.float32(2.0 ** exposure)
+    rgb = xyz @ jnp.asarray(_XYZ_TO_SRGB.T, jnp.float32)
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    srgb = jnp.where(rgb <= 0.0031308, 12.92 * rgb,
+                     1.055 * rgb ** (1.0 / 2.4) - 0.055)
+    return jnp.clip(srgb * 255.0, 0.0, 255.0).astype(jnp.uint8)
+
+
+def save_srgb_png(image, wavenumbers, path: str,
                   exposure: float = 0.0) -> None:
     from PIL import Image as PILImage
 
+    if not isinstance(image, np.ndarray):
+        try:
+            import jax
+            is_dev = isinstance(image, jax.Array)
+        except Exception:
+            is_dev = False
+        if is_dev:
+            # device epilogue + one small uint8 readback
+            arr = np.asarray(spectral_to_srgb_device(image, wavenumbers,
+                                                     exposure=exposure))
+            PILImage.fromarray(arr, mode="RGB").save(path)
+            return
     PILImage.fromarray(spectral_to_srgb(image, wavenumbers,
                                         exposure=exposure),
                        mode="RGB").save(path)

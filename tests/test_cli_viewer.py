@@ -180,6 +180,43 @@ def test_spectral_to_srgb_hue_ordering():
     assert int(dark.max()) == 0
 
 
+def test_srgb_device_matches_host():
+    """The device (jnp) sRGB epilogue is the host pipeline within f32
+    rounding: every uint8 value within 1 step, on a spectral image with
+    NaNs, zeros and a bright tail exercising the auto-expose percentile."""
+    import jax.numpy as jnp
+    from pathtracing_spectrum_tpu.viewer import (spectral_to_srgb,
+                                                 spectral_to_srgb_device)
+
+    rng = np.random.default_rng(7)
+    wn = [1e7 / 450, 1e7 / 520, 1e7 / 590, 1e7 / 650]
+    img = rng.uniform(0, 1, (12, 9, 4)).astype(np.float32)
+    img[0, 0] = np.nan
+    img[1, 1] = 0.0
+    img[2, 2] = 50.0                      # outlier past the 99.5 pctile
+    for kw in (dict(), dict(exposure=1.5), dict(auto_expose=False)):
+        host = spectral_to_srgb(img, wn, **kw).astype(np.int32)
+        dev = np.asarray(spectral_to_srgb_device(jnp.asarray(img), wn,
+                                                 **kw)).astype(np.int32)
+        assert np.abs(host - dev).max() <= 1, kw
+
+
+def test_session_result_srgb_golden():
+    """RenderSession.result_srgb (device epilogue incl. tile-order
+    unscramble) equals the host conversion of session.result()."""
+    from pathtracing_spectrum_tpu.render import RenderSession
+    from pathtracing_spectrum_tpu.viewer import spectral_to_srgb
+
+    sc = cornell_scene(depth=2, res=(16, 8))
+    s = RenderSession(sc, backend="dense", seed=3)
+    s.start()
+    s.step(2)
+    dev = s.result_srgb().astype(np.int32)
+    host = spectral_to_srgb(s.result(), sc.wavelengths).astype(np.int32)
+    assert dev.shape == (8, 16, 3)
+    assert np.abs(dev - host).max() <= 1
+
+
 def test_save_srgb_png(tmp_path):
     from pathtracing_spectrum_tpu.viewer import save_srgb_png
 
