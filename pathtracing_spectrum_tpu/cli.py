@@ -61,6 +61,13 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="sub-pixel anti-aliasing (off = reference parity)")
     r.add_argument("--dispersion", action="store_true",
                    help="hero-wavelength dispersion (per-wavelength IOR)")
+    r.add_argument("--hero", action="store_true",
+                   help="hero-wavelength ESTIMATOR with unchanged "
+                        "reference physics (glass stays at IOR 1.5): "
+                        "unbiased for the exact reference render, "
+                        "per-bounce spectral cost O(N) instead of "
+                        "O(nw*N) — the scaling valve for many "
+                        "wavelengths")
     r.add_argument("--persistent", action="store_true",
                    help="persistent-wavefront mode: slots restart their "
                         "pixel's next sample on termination (~100%% lane "
@@ -171,7 +178,9 @@ def cmd_render(args) -> int:
 
     session = RenderSession(scene, backend=args.backend, seed=args.seed,
                             jitter=args.jitter, resolution=resolution,
-                            sharding=sharding, dispersion=args.dispersion,
+                            sharding=sharding,
+                            dispersion=(True if args.dispersion
+                                        else "hero" if args.hero else False),
                             persistent=args.persistent,
                             compact=args.compact)
     if args.resume:

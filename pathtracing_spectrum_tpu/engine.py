@@ -395,11 +395,20 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
       backend: "auto", "dense", "dense_pallas" or "bvh".
       rand_override: optional [2*max_depth, 4, N] fixed U[0,1) variates
         (testing: lets a host oracle replay the identical sequence).
-      dispersion: hero-wavelength mode — each ray samples ONE wavelength
+      dispersion: spectral estimator mode.
+        False (default): dense [nw, N] spectral state — reference parity.
+        True: hero-wavelength dispersion — each ray samples ONE wavelength
         channel (throughput = nw * onehot(hero), an unbiased estimator of
         the per-channel image) and GLASS refracts with that channel's
         Cauchy index from the material's ior/dispersion_b instead of the
-        reference's fixed 1.5. Off by default (reference parity).
+        reference's fixed 1.5.
+        "hero": the same hero-packed estimator with UNCHANGED reference
+        glass physics (hardcoded 1.5, pathtracer.cpp:493) — the scaling
+        valve for large wavelength counts (SURVEY §7): per-bounce
+        spectral work drops from O(nw·N) to O(N) + 2-3 [nw, N] selects,
+        while staying unbiased for the exact reference render (pinned by
+        test_dispersion.test_hero_mode_unbiased_with_glass; at nw == 1
+        it is bit-identical to the dense path).
       reorder: sort bounce rays by (direction octant, origin morton cell)
         before each intersection from bounce 1 on, so the block-granular
         culling in the cluster/shortlist kernels sees coherent blocks and
@@ -461,8 +470,12 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
     # the dense Pallas kernel omits the s2/s3 winner selection (it costs
     # ~12% there); that backend computes barycentrics from fetched geometry
     kernel_bary = backend != "dense_pallas"
+    # hero packing fires for both dispersion modes; the Cauchy ior_curve
+    # column (and the glass physics change) only for dispersion=True
+    use_hero = bool(dispersion) and nw > 0
+    use_cauchy = (dispersion is True) and nw > 0
     sub, cols_idx = _column_subset(lay, backend, has_ntex, has_rtex,
-                                   has_grids, dispersion and nw > 0)
+                                   has_grids, use_cauchy)
     shade_sub = scene.tri_shade[:, cols_idx]   # [T, F'] — hoisted
     shade_sub_t = shade_sub.T                  # [F', T]
 
@@ -516,8 +529,7 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
     def rows(attrs_t, name):
         return attrs_t[sub[name]]
 
-    use_dispersion = dispersion and nw > 0
-    if use_dispersion:
+    if use_hero:
         hero_u = jax.random.uniform(jax.random.fold_in(key, 0x0D15), (n,))
         hero = jnp.minimum((hero_u * nw).astype(jnp.int32), nw - 1)
         hero_onehot_t = (jnp.arange(nw, dtype=jnp.int32)[:, None]
@@ -685,7 +697,7 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         survive = hit & ~killed
         emis_t = rows(attrs_t, "emissivity")        # [nw, N]
         refl_t = rows(attrs_t, "reflectivity")
-        if use_dispersion:
+        if use_hero:
             # hero-packed state: per-ray SCALAR throughput/radiance for the
             # hero channel (throughput_t/radiance_t are [N] here); the only
             # [nw, N] work left is the 2-3 hero selects per bounce. The
@@ -737,12 +749,14 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                                      throughput_t * refl_eff, throughput_t)
 
         # ---- bounce ----
-        if use_dispersion:
+        if use_cauchy:
             ior_hero = jnp.sum(rows(attrs_t, "ior_curve") * hero_onehot_t,
                                axis=0)
             ior_hero = jnp.maximum(ior_hero, 1.0 + 1e-6)
             eta_kw = dict(eta_inside=ior_hero, eta_outside=1.0 / ior_hero)
         else:
+            # dispersion="hero" keeps the reference glass (hardcoded 1.5,
+            # pathtracer.cpp:493) — the estimator changes, the physics not
             eta_kw = {}
         b = sampling.sample_bounce_soa(
             row(attrs_t, "mat_type").astype(jnp.int32),
@@ -768,7 +782,7 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
             return new_state, (perm, inv)
         return new_state
 
-    if use_dispersion:
+    if use_hero:
         # hero estimator: E[nw * onehot(hero)] = 1 per channel; packed as a
         # scalar per ray, scattered to [nw, N] once at the end
         throughput0 = jnp.full((n,), jnp.float32(nw))
@@ -832,7 +846,7 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                                                     state[9], state[10])
 
     # depth-cap fall-through: surviving rays see the sky (pathtracer.cpp:536-540)
-    if use_dispersion:
+    if use_hero:
         radiance_s = radiance_t + alive * throughput_t * sky_hero
         radiance_t = hero_onehot_t * radiance_s      # scatter to [nw, N]
     else:
@@ -907,7 +921,7 @@ def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
         has_ntex, has_rtex, has_grids = _texture_flags(scene)
         sub0, cols_idx0 = _column_subset(shade_layout(nw), resolved,
                                          has_ntex, has_rtex, has_grids,
-                                         dispersion and nw > 0)
+                                         (dispersion is True) and nw > 0)
         shade_sub0 = scene.tri_shade[:, cols_idx0]
         on_pallas = (jax.devices()[0].platform.lower() in ("tpu", "axon")
                      and resolved in ("dense_pallas", "cluster",

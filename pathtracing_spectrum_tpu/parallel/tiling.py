@@ -32,6 +32,115 @@ from ..engine import trace_radiance, render_sample as _render_sample_1chip
 from .mesh import TILE_AXIS, make_mesh, replicated, tile_sharded
 
 
+# Backends whose intersection runs as a Pallas kernel (a custom call).
+# XLA's SPMD partitioner cannot split a custom call: under plain
+# jit-with-sharded-inputs it REPLICATES the kernel — the compiled module
+# all-gathers the sharded rays and every device sweeps the full image
+# (measured: 42 all-gathers in the 8-device hier HLO). Those backends
+# route through shard_map instead, where each device's tile is a plain
+# local array and the kernel runs per-shard with zero collectives.
+_PALLAS_BACKENDS = ("dense_pallas", "cluster", "shortlist", "worklist",
+                    "hier")
+
+
+def _needs_shard_map(backend: str, n_tris: int) -> bool:
+    from ..engine import resolve_backend
+    return resolve_backend(backend, n_tris=n_tris) in _PALLAS_BACKENDS
+
+
+def tile_shard_trace(mesh, scene_data, ro, rd, key, max_depth,
+                     backend="auto", rand_override=None, dispersion=False,
+                     fold_device=True):
+    """``trace_radiance`` inside ``shard_map`` over the pixel axis.
+
+    Each device traces its local ray tile as a plain array, so Pallas
+    kernels execute per-shard (no all-gathers — see _PALLAS_BACKENDS).
+    With ``fold_device`` each device folds its mesh index into the key
+    (distinct variate streams per tile); with ``fold_device=False`` and a
+    sharded ``rand_override`` the computation is bit-identical to the
+    unsharded ``trace_radiance`` on the gathered rays (per-pixel math is
+    pixel-local and the kernels are ray-order/batch-width independent —
+    pinned by tests/test_sharding.py::test_tile_shard_map_hier_bitexact).
+
+    Returns (radiance [N_local stacked as sharded N, nw], rays_traced psum).
+    """
+    def device_fn(scene, o, d, k, rand_o):
+        if fold_device:
+            k = jax.random.fold_in(k, jax.lax.axis_index(TILE_AXIS))
+        res = trace_radiance(scene, o, d, k, max_depth, backend,
+                             rand_override=rand_o, dispersion=dispersion)
+        return res.radiance, jax.lax.psum(res.rays_traced, TILE_AXIS)
+
+    rep_scene = jax.tree.map(lambda _: P(), scene_data)
+    rand_spec = P(None, None, TILE_AXIS) if rand_override is not None else P()
+    return shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(rep_scene, P(TILE_AXIS), P(TILE_AXIS), P(), rand_spec),
+        out_specs=(P(TILE_AXIS), P()),
+        check_vma=False,
+    )(scene_data, ro, rd, key, rand_override)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "n_steps", "max_depth",
+                                    "backend", "dispersion"),
+                   donate_argnums=(4,))
+def _tile_shard_map_samples(mesh, scene_data, ro, rd, total, samples,
+                            base_key, counter0, n_steps, max_depth,
+                            backend, dispersion=False, jitter_cam=None):
+    """Batched tile-sharded sampling with the engine INSIDE shard_map.
+
+    Sample ``i`` on device ``dev`` keys its variates with
+    ``fold_in(fold_in(base_key, counter0 + i), dev)`` — the per-sample
+    schedule matches engine.render_samples (exact checkpoint resume on
+    the same mesh); the device fold keeps tiles' variate streams
+    disjoint (without it every tile would draw identical local variate
+    planes). Not bit-identical to a single-chip render — documented
+    per-mesh determinism, like SppAllreduce.
+    """
+    def device_fn(scene, o, d, tot, k0, c0, jc):
+        dev = jax.lax.axis_index(TILE_AXIS)
+
+        def body(i, carry):
+            tot, rays = carry
+            k = jax.random.fold_in(
+                jax.random.fold_in(k0, c0 + i), dev)
+            if jc is not None:
+                from ..models.camera import jittered_dirs
+                ck = jax.random.fold_in(k, 0xC0FFEE)
+                kx, ky = jax.random.split(ck)
+                nloc = jc.px.shape[0]
+                d_i = jittered_dirs(jc, jax.random.uniform(kx, (nloc,)),
+                                    jax.random.uniform(ky, (nloc,)))
+            else:
+                d_i = d
+            res = trace_radiance(scene, o, d_i, k, max_depth, backend,
+                                 dispersion=dispersion)
+            return tot + res.radiance, rays + res.rays_traced
+
+        tot, rays = jax.lax.fori_loop(
+            0, n_steps, body, (tot, jnp.zeros((), jnp.int32)))
+        return tot, jax.lax.psum(rays, TILE_AXIS)
+
+    rep_scene = jax.tree.map(lambda _: P(), scene_data)
+    if jitter_cam is not None:
+        jc_spec = jitter_cam._replace(
+            px=P(TILE_AXIS), py=P(TILE_AXIS), pos=P(), top_left=P(),
+            right=P(), up=P())
+    else:
+        jc_spec = P()
+    total, nrays = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(rep_scene, P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS),
+                  P(), P(), jc_spec),
+        out_specs=(P(TILE_AXIS), P()),
+        check_vma=False,
+    )(scene_data, ro, rd, total, base_key, counter0, jitter_cam)
+    samples = samples + n_steps
+    out = total / samples.astype(jnp.float32)
+    return total, samples, out, nrays
+
+
 class TileSharding:
     """Shard the flat pixel axis over a 1-D mesh."""
 
@@ -84,11 +193,19 @@ class TileSharding:
                       max_depth, backend="auto", dispersion=False):
         """Same signature as engine.render_sample; inputs already sharded.
 
-        The computation is embarrassingly parallel over pixels, so jit +
-        input shardings partition it with no collectives; XLA all-gathers
-        only at host readback.
+        Pure-XLA backends (dense/bvh): jit + input shardings partition the
+        pixel work with no collectives (bit-identical to single-chip).
+        Pallas backends route through shard_map (see _PALLAS_BACKENDS —
+        XLA would otherwise replicate the kernel), with a per-device key
+        fold: per-mesh deterministic, like SppAllreduce.
         """
         scene_data = self.shard_scene(scene_data)
+        if _needs_shard_map(backend, scene_data.tri_shade.shape[0]):
+            total2, samples2, out, nrays = _tile_shard_map_samples(
+                self.mesh, scene_data, ro, rd, total, samples, key, 0,
+                n_steps=1, max_depth=max_depth, backend=backend,
+                dispersion=dispersion)
+            return total2, samples2, out, nrays
         return _render_sample_1chip(scene_data, ro, rd, total, samples, key,
                                     max_depth=max_depth, backend=backend,
                                     dispersion=dispersion)
@@ -96,9 +213,19 @@ class TileSharding:
     def render_samples(self, scene_data, ro, rd, total, samples, base_key,
                        counter0, n_steps, max_depth, backend="auto",
                        dispersion=False, jitter_cam=None):
-        """Batched multi-sample step (one dispatch), sharded over pixels."""
+        """Batched multi-sample step (one dispatch), sharded over pixels.
+
+        Backend routing as in :meth:`render_sample`: Pallas backends run
+        inside shard_map so the kernels execute per-tile.
+        """
         from ..engine import render_samples as _render_samples_1chip
         scene_data = self.shard_scene(scene_data)
+        if _needs_shard_map(backend, scene_data.tri_shade.shape[0]):
+            return _tile_shard_map_samples(
+                self.mesh, scene_data, ro, rd, total, samples, base_key,
+                counter0, n_steps=n_steps, max_depth=max_depth,
+                backend=backend, dispersion=dispersion,
+                jitter_cam=jitter_cam)
         return _render_samples_1chip(scene_data, ro, rd, total, samples,
                                      base_key, counter0, n_steps=n_steps,
                                      max_depth=max_depth, backend=backend,

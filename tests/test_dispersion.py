@@ -60,6 +60,61 @@ def test_dispersion_unbiased_on_glass_free_scene():
     np.testing.assert_allclose(dis.mean(axis=0), std.mean(axis=0), rtol=0.08)
 
 
+def test_hero_mode_nw1_bit_identical_to_dense():
+    """dispersion="hero" (the estimator without the physics change) at
+    nw == 1 degenerates to the dense spectral path exactly: the hero
+    channel is always 0 and throughput nw == 1, so every f32 op matches
+    bit for bit."""
+    sc = cornell_scene(depth=2, res=(8, 8))
+    sc.wavelengths = [1000.0]
+    for el in sc.objects[0].elements:
+        el.material.spectrum_mat_id = min(
+            el.material.spectrum_mat_id, len(sc.spectrum_materials) - 1)
+    sc.spectrum_materials = [SpectrumMaterial(m.name, m.emissivity[:1])
+                             for m in sc.spectrum_materials]
+    scene = sc.compile()
+    ro, rd = camera_rays(sc.camera(), 8, 8)
+    key = jax.random.key(4)
+    a = trace_radiance(scene, ro, rd, key, 2, backend="dense",
+                       dispersion=False)
+    b = trace_radiance(scene, ro, rd, key, 2, backend="dense",
+                       dispersion="hero")
+    np.testing.assert_array_equal(np.asarray(a.radiance),
+                                  np.asarray(b.radiance))
+
+
+@pytest.mark.slow
+def test_hero_mode_unbiased_with_glass():
+    """Unlike dispersion=True (which swaps in Cauchy glass), the "hero"
+    estimator must converge to the dense reference render even on a
+    GLASS-carrying scene — same physics, different estimator."""
+    sc = cornell_scene(depth=2, res=(8, 8))
+    els = sc.objects[0].elements
+    for el in els:
+        if el.name == "tall_block":
+            el.material.type = MaterialType.GLASS
+    scene = sc.compile()
+    ro, rd = camera_rays(sc.camera(), 8, 8)
+    key = jax.random.key(2)
+
+    from pathtracing_spectrum_tpu.engine import render_samples
+    spp = 4000
+
+    def run(dispersion):
+        total = jnp.zeros((64, 4), jnp.float32)
+        samples = jnp.zeros((), jnp.int32)
+        _, _, out, _ = render_samples(scene, ro, rd, total, samples, key, 0,
+                                      n_steps=spp, max_depth=2,
+                                      backend="dense", dispersion=dispersion)
+        return np.asarray(out)
+
+    std = run(False)
+    hero = run("hero")
+    np.testing.assert_allclose(hero.mean(), std.mean(), rtol=0.02)
+    np.testing.assert_allclose(hero.mean(axis=0), std.mean(axis=0),
+                               rtol=0.08)
+
+
 def glass_pane_scene(tmp_path, ior, dispersion_b):
     """Camera looks through a tilted glass pane at a striped hot/cold wall.
 
@@ -130,7 +185,7 @@ def test_dispersion_separates_wavelengths(tmp_path):
     the non-dispersive pane rendered with identical sampling noise."""
     key = jax.random.key(7)
 
-    def render(b_coef, spp=512):
+    def render(b_coef, spp=512, dispersion=True):
         from pathtracing_spectrum_tpu.engine import render_samples
         sc = glass_pane_scene(tmp_path, ior=1.5, dispersion_b=b_coef)
         scene = sc.compile()
@@ -139,7 +194,7 @@ def test_dispersion_separates_wavelengths(tmp_path):
         samples = jnp.zeros((), jnp.int32)
         _, _, out, _ = render_samples(scene, ro, rd, total, samples, key, 0,
                                       n_steps=spp, max_depth=4,
-                                      backend="dense", dispersion=True)
+                                      backend="dense", dispersion=dispersion)
         return np.asarray(out)
 
     def corr03(img):
@@ -151,6 +206,10 @@ def test_dispersion_separates_wavelengths(tmp_path):
     c_disp = corr03(render(5.0))  # exaggerated Cauchy B for a clear split
     assert c_flat > 0.9            # same geometry -> stripes line up
     assert c_disp < c_flat - 0.15  # dispersion shifts the stripes
+    # the "hero" estimator ignores ior/dispersion_b (reference 1.5 glass):
+    # stripes stay aligned across channels despite the huge Cauchy B
+    c_hero = corr03(render(5.0, dispersion="hero"))
+    assert c_hero > 0.9
 
 
 def test_dispersion_flag_through_session(tmp_path):
