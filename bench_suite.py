@@ -152,7 +152,7 @@ np.save({ref_npy!r}, s.result())
            gate="<0.01", passed=bool(rmse < 0.01))
 
 
-def config2_dispersion():
+def prism_scene(res=(512, 512), depth=5):
     from pathtracing_spectrum_tpu import Material, MaterialType, Scene, \
         SpectrumMaterial
     sc = Scene()
@@ -160,8 +160,8 @@ def config2_dispersion():
     sc.spectrum_materials = [SpectrumMaterial("glass", [0.0] * 4),
                              SpectrumMaterial("surface", [0.9] * 4),
                              SpectrumMaterial("emitter", [1.0] * 4)]
-    sc.trace_depth = 5
-    sc.resolution = (512, 512)
+    sc.trace_depth = depth
+    sc.resolution = res
     obj = sc.load_object(os.path.join(ASSETS, "prism.obj"))
     mats = {
         "floor": Material(type=MaterialType.DIFFUSE, spectrum_mat_id=1,
@@ -177,10 +177,15 @@ def config2_dispersion():
         sc.set_material(0, i, mats[el.name])
     sc.set_camera([0.0, 0.5, -4.0], [0.0, 0.0, 0.0])
     sc.camera_fovy = 60.0
+    return sc
 
+
+def config2_dispersion():
+    sc = prism_scene()
     s = _session(sc, dispersion=True)
-    dt, st = _timed_spp(s, 32)
+    dt, st = _timed_spp(s, 32, batch=32)
     report("dispersion_prism_512_32spp", spp=32, seconds=round(dt, 3),
+           dispatches=1,
            spp_per_sec=round(32 / dt, 2),
            mrays_per_sec=round(st["mrays_per_s"], 1))
 

@@ -54,6 +54,10 @@ def scene_for(name):
     if name == "textured":
         return bs.textured_sphere_scene((1920, 1080)), (1920, 1080)
     res = int(os.environ.get("PTS_PROF_RES", "512"))
+    if name == "prism":
+        return bs.prism_scene((res, res)), (res, res)
+    if name == "cornell":
+        return bs.cornell_scene((res, res), 3), (res, res)
     return bs.terrain_scene((res, res), f"{name}.obj"), (res, res)
 
 
