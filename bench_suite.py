@@ -396,10 +396,59 @@ def _terrain_agreement(sc, res=64):
     return round(float(same.mean()) * 100.0, 2)
 
 
+def cornell_scene_nw(res, depth, nw):
+    """Cornell box with an nw-point wavelength grid (the reference's
+    product is arbitrary user wavelength lists — wave.cpp:33-42, GUI
+    CRUD main.cpp:2447-2560; every other config here runs nw=4)."""
+    from pathtracing_spectrum_tpu import Material, MaterialType, Scene, \
+        SpectrumMaterial
+    waves = np.linspace(500.0, 2000.0, nw)
+    # smooth emissivity curve through the nw=4 config's anchor values
+    white = np.interp(waves, [500.0, 1000.0, 1500.0, 2000.0],
+                      [0.8, 0.7, 0.75, 0.8])
+    sc = Scene()
+    sc.wavelengths = [float(v) for v in waves]
+    sc.spectrum_materials = [
+        SpectrumMaterial("white", [float(v) for v in white]),
+        SpectrumMaterial("emitter", [1.0] * nw),
+    ]
+    sc.trace_depth = depth
+    sc.resolution = res
+    obj = sc.load_object(os.path.join(ASSETS, "cornell_box.obj"))
+    for i, el in enumerate(obj.elements):
+        t = 500.0 if el.name == "light" else 20.0
+        sid = 1 if el.name == "light" else 0
+        sc.set_material(0, i, Material(type=MaterialType.DIFFUSE,
+                                       temperature=t, spectrum_mat_id=sid,
+                                       roughness=0.2))
+    sc.set_camera([0.0, 0.0, -2.0], [0.0, 0.0, 0.0])
+    sc.camera_fovy = 50.0
+    return sc
+
+
+def config7_wavelength_scaling():
+    """spp/s vs wavelength count (SURVEY §5/§7: wavelengths are the
+    spectral 'long axis'; hero sampling is the scaling valve). Dense
+    [nw, N] spectra at nw = 4/16/64, plus the hero estimator at the
+    largest grid (dispersion="hero": unchanged physics, O(N) spectral
+    state — unbiased for the same image)."""
+    for nw, mode in ((4, False), (16, False), (64, False),
+                     (64, "hero"), (256, False), (256, "hero")):
+        sc = cornell_scene_nw((512, 512), 3, nw)
+        s = _session(sc, dispersion=mode)
+        spp = 32
+        dt, st = _timed_spp(s, spp, batch=spp)
+        report("wavelength_scaling", n_waves=nw,
+               estimator=("hero" if mode == "hero" else "dense"),
+               spp=spp, seconds=round(dt, 3), dispatches=1,
+               spp_per_sec=round(spp / dt, 2),
+               mrays_per_sec=round(st["mrays_per_s"], 1))
+
+
 def main():
     for fn in (config1_cornell, config2_dispersion, config3_textured_1080p,
                config4_mixed_depth8, config5_multichip_4k,
-               config6_large_scenes):
+               config6_large_scenes, config7_wavelength_scaling):
         try:
             fn()
         except Exception as e:  # keep the suite running; record the failure

@@ -85,6 +85,16 @@ FETCH_PALLAS_MAX_GROUPS = 16
 # "auto" backend: dense sweep below this triangle count.
 DENSE_AUTO_MAX_TRIS = 512
 
+# Hero mode: read the baked per-(triangle, hero-channel) spectra via ONE
+# [N, 2] row gather from a flat [T*nw, 2] table (instead of fetching all
+# 2*nw emissivity/reflectivity rows and one-hot selecting) only above
+# this wavelength count. Measured on v5e (cornell 512², depth 3, 32 spp
+# one dispatch, spp/s fetch-select vs flat-gather): nw=64 131.6 vs
+# 100.4 (the tiny-table MXU fetch is cheap; the gather's fixed ~0.4
+# ms/iteration is not), nw=256 69.1 vs 94.1 (2*256 fetched rows lose).
+# Both paths produce the exact same table entries — bit-identical.
+HERO_FLAT_GATHER_MIN_NW = 128
+
 # Per-row cluster culling only pays once shortlists are long enough that
 # a culled row skips whole MXU matmuls often; below this the per-row
 # slab tests are pure overhead. Measured intersect chains on v5e
@@ -181,7 +191,7 @@ class TraceResult(NamedTuple):
 
 
 def _column_subset(lay, backend: str, has_ntex: bool, has_rtex: bool,
-                   has_grids: bool, want_ior: bool):
+                   has_grids: bool, want_ior: bool, hero: bool = False):
     """Static column subset of the packed shading table for one config.
 
     Only the attribute rows this configuration actually reads are fetched
@@ -198,9 +208,15 @@ def _column_subset(lay, backend: str, has_ntex: bool, has_rtex: bool,
         needed.extend(range(cols.start, cols.stop))
 
     for nm in ("uv1", "uv2", "uv3", "face_n", "n1", "n2", "n3", "smoothing",
-               "inv_denom", "mat_type", "rr_prob", "roughness",
-               "emissivity", "reflectivity"):
+               "inv_denom", "mat_type", "rr_prob", "roughness"):
         want(nm)
+    if not hero:
+        # hero mode reads the spectral curves via flat per-(triangle,
+        # hero-channel) row gathers instead (O(N) per iteration — the
+        # 2*nw-row fetch here was the hero path's hidden nw-scaling,
+        # measured: nw=256 hero 69 spp/s before, see tpu_cost_model.md)
+        for nm in ("emissivity", "reflectivity"):
+            want(nm)
     if backend == "dense_pallas":
         for nm in ("v1", "e1", "e2", "d00", "d01", "d11"):
             want(nm)
@@ -211,9 +227,11 @@ def _column_subset(lay, backend: str, has_ntex: bool, has_rtex: bool,
         for nm in ("roughness_tex", "roughness_tex_wh"):
             want(nm)
     if has_grids:
-        for nm in ("eps_curve", "temp_grid", "temp_grid_wh"):
+        if not hero:
+            want("eps_curve")
+        for nm in ("temp_grid", "temp_grid_wh"):
             want(nm)
-    if want_ior:
+    if want_ior and not hero:
         want("ior_curve")
     return sub, jnp.asarray(needed, jnp.int32)
 
@@ -474,8 +492,9 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
     # column (and the glass physics change) only for dispersion=True
     use_hero = bool(dispersion) and nw > 0
     use_cauchy = (dispersion is True) and nw > 0
+    hero_flat = use_hero and nw >= HERO_FLAT_GATHER_MIN_NW
     sub, cols_idx = _column_subset(lay, backend, has_ntex, has_rtex,
-                                   has_grids, use_cauchy)
+                                   has_grids, use_cauchy, hero=hero_flat)
     shade_sub = scene.tri_shade[:, cols_idx]   # [T, F'] — hoisted
     shade_sub_t = shade_sub.T                  # [F', T]
 
@@ -544,6 +563,22 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         sky_hero = hero_sel(scene.sky[:, None])
         wn_hero = (hero_sel(scene.wavenumbers[:, None])
                    if has_grids else None)
+    if hero_flat:
+        # flat per-(triangle, hero-channel) spectral tables: the baked
+        # emissivity/reflectivity for each ray's hit arrive as ONE
+        # [N, 2] 8-byte row gather per iteration instead of a 2*nw-row
+        # fetch — the fetch was the hero path's hidden nw-scaling
+        # (HERO_FLAT_GATHER_MIN_NW measured crossover). Values are the
+        # exact table entries the one-hot select produced —
+        # bit-identical.
+        emis_tbl = scene.tri_shade[:, lay["emissivity"]]   # [T, nw]
+        refl_tbl = scene.tri_shade[:, lay["reflectivity"]]
+        er_flat = jnp.stack([emis_tbl.reshape(-1),
+                             refl_tbl.reshape(-1)], axis=1)  # [T*nw, 2]
+        eps_flat = (scene.tri_shade[:, lay["eps_curve"]].reshape(-1)
+                    if has_grids else None)
+        ior_flat = (scene.tri_shade[:, lay["ior_curve"]].reshape(-1)
+                    if use_cauchy else None)
 
     def body(h, state, do_sort=False, hit0=None, perm_in=None,
              want_perm=False):
@@ -695,16 +730,24 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         # emissivity, throughput *= effective reflectivity.
         miss = alive & ~hit
         survive = hit & ~killed
-        emis_t = rows(attrs_t, "emissivity")        # [nw, N]
-        refl_t = rows(attrs_t, "reflectivity")
         if use_hero:
-            # hero-packed state: per-ray SCALAR throughput/radiance for the
-            # hero channel (throughput_t/radiance_t are [N] here); the only
-            # [nw, N] work left is the 2-3 hero selects per bounce. The
-            # channel math is the bit-identical scalar sequence the dense
-            # [nw, N] one-hot path ran on channel `hero`.
-            emis_b = hero_sel(emis_t)
-            refl_b = hero_sel(refl_t)
+            # hero-packed state: per-ray SCALAR throughput/radiance for
+            # the hero channel (throughput_t/radiance_t are [N] here).
+            # Two exact routes to the same baked table entries (see
+            # HERO_FLAT_GATHER_MIN_NW): at large nw, ONE [N, 2] row
+            # gather from the flat [T*nw, 2] table (barrier for the same
+            # reason as _fetch_attrs_t — XLA re-fuses an unbarriered
+            # gather into each consumer); below, the fetched [nw, N]
+            # rows + one-hot select.
+            if hero_flat:
+                flat_idx = idx * nw + hero
+                er = jax.lax.optimization_barrier(
+                    er_flat[flat_idx])                       # [N, 2]
+                emis_b = er[:, 0]
+                refl_b = er[:, 1]
+            else:
+                emis_b = hero_sel(rows(attrs_t, "emissivity"))
+                refl_b = hero_sel(rows(attrs_t, "reflectivity"))
             if has_grids:
                 grid = row(attrs_t, "temp_grid").astype(jnp.int32)
                 gwh = sub["temp_grid_wh"].start
@@ -713,7 +756,8 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                                          uvu, uvv)
                 bbp_h = planck.planck_bbp_elem(
                     temp + planck.CELSIUS_OFFSET, wn_hero)
-                eps_h = hero_sel(rows(attrs_t, "eps_curve"))
+                eps_h = (eps_flat[flat_idx] if hero_flat
+                         else hero_sel(rows(attrs_t, "eps_curve")))
                 hg = grid >= 0
                 emis_eff = jnp.where(hg, bbp_h * eps_h, emis_b)
                 refl_eff = jnp.where(hg, bbp_h * (1.0 - eps_h), refl_b)
@@ -726,6 +770,8 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
             throughput_t = jnp.where(survive, throughput_t * refl_eff,
                                      throughput_t)
         else:
+            emis_t = rows(attrs_t, "emissivity")        # [nw, N]
+            refl_t = rows(attrs_t, "reflectivity")
             if has_grids:
                 grid = row(attrs_t, "temp_grid").astype(jnp.int32)
                 gwh = sub["temp_grid_wh"].start
@@ -750,8 +796,9 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
 
         # ---- bounce ----
         if use_cauchy:
-            ior_hero = jnp.sum(rows(attrs_t, "ior_curve") * hero_onehot_t,
-                               axis=0)
+            ior_hero = (ior_flat[flat_idx] if hero_flat
+                        else jnp.sum(rows(attrs_t, "ior_curve")
+                                     * hero_onehot_t, axis=0))
             ior_hero = jnp.maximum(ior_hero, 1.0 + 1e-6)
             eta_kw = dict(eta_inside=ior_hero, eta_outside=1.0 / ior_hero)
         else:
@@ -919,9 +966,10 @@ def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
                              rd[:, 0], rd[:, 1], rd[:, 2])
         nw = scene.wavenumbers.shape[0]
         has_ntex, has_rtex, has_grids = _texture_flags(scene)
-        sub0, cols_idx0 = _column_subset(shade_layout(nw), resolved,
-                                         has_ntex, has_rtex, has_grids,
-                                         (dispersion is True) and nw > 0)
+        sub0, cols_idx0 = _column_subset(
+            shade_layout(nw), resolved, has_ntex, has_rtex, has_grids,
+            (dispersion is True) and nw > 0,
+            hero=bool(dispersion) and nw >= HERO_FLAT_GATHER_MIN_NW)
         shade_sub0 = scene.tri_shade[:, cols_idx0]
         on_pallas = (jax.devices()[0].platform.lower() in ("tpu", "axon")
                      and resolved in ("dense_pallas", "cluster",

@@ -83,6 +83,35 @@ def test_hero_mode_nw1_bit_identical_to_dense():
                                   np.asarray(b.radiance))
 
 
+def test_hero_flat_gather_bit_identical(monkeypatch):
+    """The two hero spectral-read routes (flat [T*nw, 2] row gather vs
+    fetched [nw, N] rows + one-hot select, crossover at
+    HERO_FLAT_GATHER_MIN_NW) read the exact same table entries — the
+    rendered radiance must be bit-identical."""
+    import pathtracing_spectrum_tpu.engine as E
+
+    nw = 12
+    sc = cornell_scene(depth=2, res=(8, 8))
+    waves = [500.0 + 100.0 * k for k in range(nw)]
+    sc.wavelengths = waves
+    sc.spectrum_materials = [
+        SpectrumMaterial(m.name, list(np.linspace(0.6, 0.9, nw))
+                         if m.name != "emitter" else [1.0] * nw)
+        for m in sc.spectrum_materials]
+    scene = sc.compile()
+    ro, rd = camera_rays(sc.camera(), 8, 8)
+    key = jax.random.key(6)
+
+    monkeypatch.setattr(E, "HERO_FLAT_GATHER_MIN_NW", 1)  # force flat
+    a = E.trace_radiance(scene, ro, rd, key, 2, backend="dense",
+                         dispersion="hero")
+    monkeypatch.setattr(E, "HERO_FLAT_GATHER_MIN_NW", 10**9)  # force select
+    b = E.trace_radiance(scene, ro, rd, key, 2, backend="dense",
+                         dispersion="hero")
+    np.testing.assert_array_equal(np.asarray(a.radiance),
+                                  np.asarray(b.radiance))
+
+
 @pytest.mark.slow
 def test_hero_mode_unbiased_with_glass():
     """Unlike dispersion=True (which swaps in Cauchy glass), the "hero"
