@@ -68,6 +68,12 @@ def _build_parser() -> argparse.ArgumentParser:
                         "per-bounce spectral cost O(N) instead of "
                         "O(nw*N) — the scaling valve for many "
                         "wavelengths")
+    r.add_argument("--chunks", type=int, default=1,
+                   help="bounded-width wavefront: trace each sample as "
+                        "N sequential sub-wavefronts inside the dispatch "
+                        "(per-lane cost grows with wavefront width on "
+                        "v5e — 4K frames run faster as 512^2-sized "
+                        "chunks; also caps the HBM working set)")
     r.add_argument("--persistent", action="store_true",
                    help="persistent-wavefront mode: slots restart their "
                         "pixel's next sample on termination (~100%% lane "
@@ -182,7 +188,7 @@ def cmd_render(args) -> int:
                             dispersion=(True if args.dispersion
                                         else "hero" if args.hero else False),
                             persistent=args.persistent,
-                            compact=args.compact)
+                            compact=args.compact, chunks=args.chunks)
     if args.resume:
         session.start()
         session.load_checkpoint(args.resume)

@@ -927,7 +927,7 @@ def render_sample(scene: SceneData, ro, rd, total, samples, key,
                    static_argnames=("n_steps", "max_depth", "backend",
                                     "leaf_size", "dispersion", "reorder",
                                     "reorder_period", "reorder_from",
-                                    "reorder_freeze"),
+                                    "reorder_freeze", "chunks"),
                    donate_argnums=(3,))
 def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
                    counter0, n_steps: int, max_depth: int,
@@ -935,7 +935,7 @@ def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
                    dispersion: bool = False, reorder: object = "auto",
                    jitter_cam=None, reorder_period: int = 1,
                    reorder_from: object = "auto",
-                   reorder_freeze: int = 0):
+                   reorder_freeze: int = 0, chunks: int = 1):
     """``n_steps`` progressive samples in ONE dispatch.
 
     Per-call launch latency on a tunneled/remote TPU can reach hundreds of
@@ -979,26 +979,80 @@ def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
     else:
         primary0 = None
 
-    def body(i, carry):
-        total, samples, rays = carry
-        k = jax.random.fold_in(base_key, counter0 + i)
+    if chunks > 1:
+        # Bounded-width wavefront: trace the frame as `chunks` sequential
+        # sub-wavefronts via lax.map (one traced body, scanned). The
+        # per-lane iteration cost GROWS with wavefront width on v5e
+        # (measured 2.6 / 3.3 / 3.5 ns per lane-iteration at 262k / 2M /
+        # 8.3M lanes — docs/tpu_cost_model.md "4K" entry), so a 4K frame
+        # runs faster as 512²-sized chunks; it also bounds the HBM
+        # working set (attrs planes scale with chunk width, not frame).
+        # Chunk c of sample i draws from fold_in(fold_in(base_key,
+        # counter0+i), 0xC40000+c) — per-(chunks, seed) deterministic;
+        # per-pixel math is width-independent, so results differ from
+        # chunks=1 only by the variate stream (unbiased either way; the
+        # trace-level equivalence under shared variates is pinned by
+        # test_chunked_trace_bit_identical).
         if jitter_cam is not None:
-            from .models.camera import jittered_dirs
-            ck = jax.random.fold_in(k, 0xC0FFEE)
-            kx, ky = jax.random.split(ck)
-            n = jitter_cam.px.shape[0]
-            rd_i = jittered_dirs(jitter_cam,
-                                 jax.random.uniform(kx, (n,)),
-                                 jax.random.uniform(ky, (n,)))
-        else:
-            rd_i = rd
-        res = trace_radiance(scene, ro, rd_i, k, max_depth, backend,
-                             leaf_size, dispersion=dispersion,
-                             reorder=reorder, primary0=primary0,
-                             reorder_period=reorder_period,
-                             reorder_from=reorder_from,
-                             reorder_freeze=reorder_freeze)
-        return total + res.radiance, samples + 1, rays + res.rays_traced
+            raise ValueError("chunks > 1 does not support jitter_cam yet")
+        n = ro.shape[0]
+        if n % chunks:
+            raise ValueError(f"ray count {n} must divide chunks={chunks}")
+        nc = n // chunks
+        ro_c = ro.reshape(chunks, nc, 3)
+        rd_c = rd.reshape(chunks, nc, 3)
+        if primary0 is not None:
+            prim_c = tuple(p.reshape(chunks, nc) for p in primary0[:5])
+            attrs_c = (primary0[5].reshape(-1, chunks, nc)
+                       .transpose(1, 0, 2))          # [C, F', nc]
+        cidx = jnp.arange(chunks, dtype=jnp.int32)
+
+        def body(i, carry):
+            total, samples, rays = carry
+            k = jax.random.fold_in(base_key, counter0 + i)
+
+            def chunk_fn(args):
+                c = args[0]
+                roc, rdc = args[1], args[2]
+                prim = (tuple(args[3:8]) + (args[8],)
+                        if primary0 is not None else None)
+                kc = jax.random.fold_in(k, 0xC40000 + c)
+                res = trace_radiance(scene, roc, rdc, kc, max_depth,
+                                     backend, leaf_size,
+                                     dispersion=dispersion,
+                                     reorder=reorder, primary0=prim,
+                                     reorder_period=reorder_period,
+                                     reorder_from=reorder_from,
+                                     reorder_freeze=reorder_freeze)
+                return res.radiance, res.rays_traced
+
+            operands = (cidx, ro_c, rd_c)
+            if primary0 is not None:
+                operands = operands + prim_c + (attrs_c,)
+            rad_c, rays_c = jax.lax.map(chunk_fn, operands)
+            return (total + rad_c.reshape(total.shape), samples + 1,
+                    rays + jnp.sum(rays_c))
+    else:
+        def body(i, carry):
+            total, samples, rays = carry
+            k = jax.random.fold_in(base_key, counter0 + i)
+            if jitter_cam is not None:
+                from .models.camera import jittered_dirs
+                ck = jax.random.fold_in(k, 0xC0FFEE)
+                kx, ky = jax.random.split(ck)
+                n = jitter_cam.px.shape[0]
+                rd_i = jittered_dirs(jitter_cam,
+                                     jax.random.uniform(kx, (n,)),
+                                     jax.random.uniform(ky, (n,)))
+            else:
+                rd_i = rd
+            res = trace_radiance(scene, ro, rd_i, k, max_depth, backend,
+                                 leaf_size, dispersion=dispersion,
+                                 reorder=reorder, primary0=primary0,
+                                 reorder_period=reorder_period,
+                                 reorder_from=reorder_from,
+                                 reorder_freeze=reorder_freeze)
+            return total + res.radiance, samples + 1, rays + res.rays_traced
 
     total, samples, rays = jax.lax.fori_loop(
         0, n_steps, body, (total, samples, jnp.zeros((), jnp.int32)))

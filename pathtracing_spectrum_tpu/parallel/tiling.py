@@ -48,6 +48,27 @@ def _needs_shard_map(backend: str, n_tris: int) -> bool:
     return resolve_backend(backend, n_tris=n_tris) in _PALLAS_BACKENDS
 
 
+def per_device_rays(mesh, scene_data, ro, rd, key, max_depth,
+                    backend="auto"):
+    """[n_devices] rays traced by each device for one tile-sharded
+    sample — the observable that the tiles strategy actually divides
+    the work (each device's count ≈ total / n_devices for a full-frame
+    wavefront; recorded in the multichip bench entries)."""
+    def device_fn(scene, o, d, k):
+        k = jax.random.fold_in(k, jax.lax.axis_index(TILE_AXIS))
+        res = trace_radiance(scene, o, d, k, max_depth, backend)
+        return res.rays_traced[None]
+
+    rep_scene = jax.tree.map(lambda _: P(), scene_data)
+    counts = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(rep_scene, P(TILE_AXIS), P(TILE_AXIS), P()),
+        out_specs=P(TILE_AXIS),
+        check_vma=False,
+    )(scene_data, ro, rd, key)
+    return np.asarray(counts)
+
+
 def tile_shard_trace(mesh, scene_data, ro, rd, key, max_depth,
                      backend="auto", rand_override=None, dispersion=False,
                      fold_device=True):

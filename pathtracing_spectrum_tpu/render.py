@@ -79,7 +79,8 @@ class RenderSession:
                  auto_backend_threshold: int = 4096,
                  resolution: Optional[tuple] = None,
                  sharding=None, tile_ordering: bool = True,
-                 persistent: bool = False, compact: object = False):
+                 persistent: bool = False, compact: object = False,
+                 chunks: int = 1):
         if persistent and (jitter or dispersion or sharding is not None):
             raise ValueError("persistent wavefront mode supports neither "
                              "jitter, dispersion nor sharding (yet) — see "
@@ -89,6 +90,12 @@ class RenderSession:
             raise ValueError("compact (shrinking-prefix) mode supports "
                              "neither jitter, dispersion, persistent nor "
                              "sharding — see engine_compact.py")
+        if chunks > 1 and (jitter or persistent or compact is True
+                           or sharding is not None):
+            raise ValueError("chunks > 1 (bounded-width wavefront) "
+                             "supports neither jitter, persistent, "
+                             "compact nor sharding (yet)")
+        self.chunks = int(chunks)
         self.persistent = persistent
         self._compact_requested = compact
         self._compact_schedule = None   # learned from the first sample
@@ -287,6 +294,8 @@ class RenderSession:
             step_fn = (self._sharding.render_samples if self._sharding
                        else render_samples)
             kw = ({"jitter_cam": self._jitter_cam} if self.jitter else {})
+            if self.chunks > 1:
+                kw["chunks"] = self.chunks
             self._total, self._samples, self._out, nrays = step_fn(
                 self._scene_data, self._ro, self._rd, self._total,
                 self._samples, self._key, self._sample_counter,
@@ -553,6 +562,7 @@ class RenderSession:
                  scene_hash=self.scene.content_digest(),
                  backend=self.resolved_backend(),
                  jitter=self.jitter,
+                 chunks=self.chunks,
                  compact=self.use_compact(),
                  compact_schedule=sched,
                  compact_learned=self._compact_schedule is not None,
@@ -608,6 +618,12 @@ class RenderSession:
             # reuse the learned schedule so continuation is bit-exact
             self._compact_schedule = tuple(
                 (int(h), int(p)) for h, p in data["compact_schedule"])
+        ck_chunks = int(data["chunks"]) if "chunks" in data.files else 1
+        if ck_chunks != self.chunks:
+            raise ValueError(
+                f"checkpoint was rendered with chunks={ck_chunks}, this "
+                f"session has chunks={self.chunks} — the per-chunk key "
+                f"fold differs, resume would not be exact")
         ck_persistent = bool(data["persistent"]) if "persistent" in \
             data.files else False
         if ck_persistent != self.persistent:
