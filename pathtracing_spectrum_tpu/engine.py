@@ -149,6 +149,15 @@ MXU_BF16X3_MIN_TRIS = 32768
 REORDER_FROM_TINY_TRIS = 4096      # below: sort the last iteration only
 REORDER_FROM_SMALL_TRIS = 32768    # below: skip the h=1 sort
 
+# A/B gear (PTS_SORT_MAT=1): key the bounce-ray sort by the PREVIOUS
+# hit's material type above the octant — the "material-sorted shading
+# queues" north-star hypothesis. Shading here is branchless full-lane
+# vector math, so the only thing grouping by material can change is
+# block coherence for the culling kernels (it dilutes the spatial key
+# bits). Result-exact either way; measured verdict in
+# docs/tpu_cost_model.md.
+SORT_MAT = os.environ.get("PTS_SORT_MAT", "") not in ("", "0")
+
 
 def reorder_from_policy(n_tris: int, max_depth: int = 3) -> int:
     """Resolve ``reorder_from="auto"`` from the scene's triangle count
@@ -507,11 +516,12 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                   or (reorder == "auto" and on_pallas
                       and backend in ("cluster", "shortlist", "worklist", "hier")
                       and n_tris >= REORDER_AUTO_MIN_TRIS))
+    sort_mat = do_reorder and SORT_MAT
     if do_reorder:
         _SEG = segment_for(n)
         smin, inv_ext = scene_bounds(scene)
 
-        def sort_perm(ox, oy, oz, dx, dy, dz, alive):
+        def sort_perm(ox, oy, oz, dx, dy, dz, alive, mat=None):
             """Forward + inverse segment-local permutations from the
             shared reorder key (reorder.sort_key — octant, then origin
             morton cell; dead rays to the top bucket so fully-parked
@@ -525,7 +535,7 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
             the whole bounce (61 ms of a 258 ms 6-bounce sample at 262k
             rays)."""
             key = sort_key(ox, oy, oz, dx, dy, dz, alive, smin, inv_ext,
-                           morton=True)
+                           morton=True, mat=mat)
             ns = n // _SEG
             perm_l = jnp.argsort(key.reshape(ns, _SEG), axis=1,
                                  stable=True).astype(jnp.int32)
@@ -583,7 +593,9 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
     def body(h, state, do_sort=False, hit0=None, perm_in=None,
              want_perm=False):
         (rox, roy, roz, rdx, rdy, rdz,
-         throughput_t, radiance_t, inside, alive, rays_traced) = state
+         throughput_t, radiance_t, inside, alive, rays_traced,
+         *mat_tail) = state
+        prev_mat = mat_tail[0] if sort_mat else None
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.int32))
 
         attrs0 = None
@@ -614,7 +626,8 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
             if perm_in is not None:
                 perm, inv = perm_in
             else:
-                perm, inv = sort_perm(rox, roy, roz, rdx, rdy, rdz, alive)
+                perm, inv = sort_perm(rox, roy, roz, rdx, rdy, rdz, alive,
+                                      prev_mat)
             packed = jnp.stack([rox, roy, roz, rdx, rdy, rdz],
                                axis=1)[perm]                       # [N, 6]
             hit_s, t_s, idx_s, s2_s, s3_s = intersect(
@@ -805,8 +818,9 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
             # dispersion="hero" keeps the reference glass (hardcoded 1.5,
             # pathtracer.cpp:493) — the estimator changes, the physics not
             eta_kw = {}
+        mat_i = row(attrs_t, "mat_type").astype(jnp.int32)
         b = sampling.sample_bounce_soa(
-            row(attrs_t, "mat_type").astype(jnp.int32),
+            mat_i,
             rdx, rdy, rdz, nx, ny, nz, roughness, inside,
             u_rand, th_rand, fr_rand, **eta_kw)
         # Dead rays are parked far away with a zero direction: the triangle
@@ -825,6 +839,8 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
         alive = survive
         new_state = (rox, roy, roz, rdx, rdy, rdz,
                      throughput_t, radiance_t, inside, alive, rays_traced)
+        if sort_mat:
+            new_state += (jnp.where(survive, mat_i, 0),)
         if want_perm:
             return new_state, (perm, inv)
         return new_state
@@ -842,6 +858,8 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
              jnp.zeros(n, bool),
              jnp.ones(n, bool),
              jnp.zeros((), jnp.int32))
+    if sort_mat:
+        state += (jnp.zeros(n, jnp.int32),)
     # bounce 0 is always peeled: primary rays are tile-ordered already (no
     # sort needed) and the caller may supply the hoisted intersection
     state = body(0, state, hit0=primary0)

@@ -69,13 +69,20 @@ def scene_bounds(scene):
     return smin, 1.0 / jnp.maximum(smax - smin, 1e-6)
 
 
-def sort_key(ox, oy, oz, dx, dy, dz, alive, smin, inv_ext, morton: bool):
+def sort_key(ox, oy, oz, dx, dy, dz, alive, smin, inv_ext, morton: bool,
+             mat=None):
     """The engines' reorder key (see module docstring for the layout).
 
     ``morton=False`` keeps only the dead bit (backends without block
     culling gain nothing from coherence; the sort still compacts).
+
+    ``mat`` (A/B gear, PTS_SORT_MAT): the previous hit's material type
+    (int32 in 0..3) keyed ABOVE the octant — the "material-sorted
+    shading queues" north-star hypothesis. Result-exact (any permutation
+    is); measured verdict in docs/tpu_cost_model.md.
     """
-    dead_bit = jnp.int32(1) << (3 * REORDER_POS_BITS + 3)
+    mat_shift = 3 * REORDER_POS_BITS + 3
+    dead_bit = jnp.int32(1) << (mat_shift + (2 if mat is not None else 0))
     if not morton:
         return jnp.where(alive, 0, dead_bit)
     cells = 1 << REORDER_POS_BITS
@@ -96,4 +103,6 @@ def sort_key(ox, oy, oz, dx, dy, dz, alive, smin, inv_ext, morton: bool):
               + (dy < 0).astype(jnp.int32) * 2
               + (dz < 0).astype(jnp.int32))
     key = (octant << (3 * REORDER_POS_BITS)) | m
+    if mat is not None:
+        key = key | (mat << mat_shift)
     return jnp.where(alive, key, dead_bit)

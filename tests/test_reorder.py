@@ -103,3 +103,46 @@ def test_engines_share_the_same_key_function():
     assert ecmp._sort_key is reorder.sort_key
     assert ew.sort_key is reorder.sort_key
     assert eng.segment_for is ecmp._segment_for is reorder.segment_for
+
+
+def test_sort_mat_key_is_result_exact(monkeypatch):
+    """PTS_SORT_MAT (the material-sorted-queues A/B, engine.SORT_MAT)
+    only changes the bounce-ray permutation — renders with and without
+    the material bits in the key must match bitwise. Also pins the key
+    layout: the dead bit stays strictly above every live key when the
+    material bits are present."""
+    import jax
+
+    from scene_helpers import cornell_scene
+    from pathtracing_spectrum_tpu import camera_rays
+    import pathtracing_spectrum_tpu.engine as eng
+
+    sc = cornell_scene(depth=3)
+    scene = sc.compile()
+    ro, rd = camera_rays(sc.camera(), 64, 32)          # 2048 rays
+    rng = np.random.default_rng(13)
+    rand = jnp.asarray(rng.uniform(0, 1, (6, 4, 2048)).astype(np.float32))
+    key = jax.random.key(0)
+    out = []
+    for flag in (False, True):
+        monkeypatch.setattr(eng, "SORT_MAT", flag)
+        out.append(eng.trace_radiance(scene, ro, rd, key, 3,
+                                      backend="dense", rand_override=rand,
+                                      reorder=True))
+    np.testing.assert_array_equal(np.asarray(out[0].radiance),
+                                  np.asarray(out[1].radiance))
+    assert int(out[0].rays_traced) == int(out[1].rays_traced)
+
+    # key-layout pin: dead rays above every live key for all mat values
+    n = 256
+    rngk = np.random.default_rng(5)
+    o = [jnp.asarray(rngk.uniform(0, 1, n).astype(np.float32))
+         for _ in range(3)]
+    d = [jnp.asarray(rngk.normal(0, 1, n).astype(np.float32))
+         for _ in range(3)]
+    alive = jnp.asarray(rngk.uniform(0, 1, n) < 0.6)
+    mat = jnp.asarray(rngk.integers(0, 4, n).astype(np.int32))
+    k = np.asarray(sort_key(*o, *d, alive, jnp.zeros(3), jnp.ones(3),
+                            morton=True, mat=mat))
+    al = np.asarray(alive)
+    assert k[al].max() < k[~al].min()
