@@ -74,15 +74,6 @@ def _build_parser() -> argparse.ArgumentParser:
                         "(per-lane cost grows with wavefront width on "
                         "v5e — 4K frames run faster as 512^2-sized "
                         "chunks; also caps the HBM working set)")
-    r.add_argument("--persistent", action="store_true",
-                   help="persistent-wavefront mode: slots restart their "
-                        "pixel's next sample on termination (~100%% lane "
-                        "occupancy; fastest on deep/complex scenes)")
-    r.add_argument("--compact", action="store_true",
-                   help="shrinking-prefix (compaction) engine: late "
-                        "bounce iterations run on the live-ray prefix "
-                        "only (experimental; see engine_compact.py's "
-                        "measured verdict)")
     r.add_argument("--batch", type=int, default=8,
                    help="samples per device dispatch")
     r.add_argument("--checkpoint", default=None,
@@ -187,8 +178,7 @@ def cmd_render(args) -> int:
                             sharding=sharding,
                             dispersion=(True if args.dispersion
                                         else "hero" if args.hero else False),
-                            persistent=args.persistent,
-                            compact=args.compact, chunks=args.chunks)
+                            chunks=args.chunks)
     if args.resume:
         session.start()
         session.load_checkpoint(args.resume)

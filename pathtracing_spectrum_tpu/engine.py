@@ -64,8 +64,7 @@ from .ops.intersect_pallas import (BIG, intersect_clustered_pallas_soa,
 from .ops.bvh import intersect_bvh
 from .ops.texturing import sample_nearest_wh
 # Reorder constants + key/segment/bounds primitives live in reorder.py
-# (shared with engine_compact — byte-identical keys are load-bearing for
-# its bit-identity guarantee); re-exported here for compatibility.
+# (one home for the key schedule); re-exported here for compatibility.
 from .reorder import (REORDER_AUTO_MIN_TRIS, REORDER_POS_BITS,   # noqa: F401
                       REORDER_SEGMENT, scene_bounds, segment_for,
                       sort_key)
@@ -294,8 +293,11 @@ def sweep_policy(backend: str, on_tpu: bool | None = None,
     matmul is big enough that halving K from 96 to 48 finally shows
     (in-context spp/s, v5e 2026-08-19: 246k 3.86 vs 3.75, 52k 9.03 vs
     8.84, 1M 1.57 vs 1.53; a wash at 2.2k). bf16x3 is value-faithful
-    (~2^-18 relative t; 100% hit/idx match pinned across scene scales
-    by test_mxu_sweep_schemes_across_scene_scales); small scenes keep
+    (~2^-18 relative t; hit/idx match pinned 100% across scene scales
+    in INTERPRET mode by test_mxu_sweep_schemes_across_scene_scales —
+    on hardware grazing-edge flips make it 99.88-99.93%, gated >=99.8%
+    in bench_suite and bounded by the RMSE gates; docs/physics.md
+    "Numerical fidelity"); small scenes keep
     the ulp-faithful f32x6 where the speed difference is noise. Env
     overrides always win: PTS_MXU_SWEEP (set-but-empty = force the VPU
     sweep), PTS_ROW_CULL and PTS_SWEEP_SPAN. Off-TPU (CPU tests,

@@ -1,11 +1,15 @@
-"""Shared per-hit shading blocks for the alternative engines.
+"""Per-hit shading blocks factored for phase-isolated measurement.
 
 The lockstep engine (engine.py) keeps its bounce body inline — it carries
 the primary-hoist / hero-dispersion specialisations and is the
-reference-parity hot path. The persistent-wavefront engine
-(engine_wavefront.py) and the compaction engine (engine_compact.py) run
-the *identical formulas* over differently-organised ray pools; this
-module holds those blocks once so they cannot drift apart.
+reference-parity hot path. These blocks expose the *identical formulas*
+as standalone functions over [M] component planes so the per-phase
+profiler (tools/profile_phases.py) and the kernel benchmarks
+(tools/bench_mxu_sweep.py) can time each phase in isolation with the
+production attribute layout. (They originally also backed the retired
+compact/persistent engines — see the engine-zoo decision in STATUS.md
+round 5.) tests/test_engine_parity.py pins them against engine.py's
+inline body so they cannot drift.
 
 All functions take a ``ShadeCtx`` built by :func:`make_ctx` — the static
 per-trace configuration (packed-column layout subset, texture gates,

@@ -104,11 +104,12 @@ def tile_shard_trace(mesh, scene_data, ro, rd, key, max_depth,
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "n_steps", "max_depth",
-                                    "backend", "dispersion"),
+                                    "backend", "dispersion", "chunks"),
                    donate_argnums=(4,))
 def _tile_shard_map_samples(mesh, scene_data, ro, rd, total, samples,
                             base_key, counter0, n_steps, max_depth,
-                            backend, dispersion=False, jitter_cam=None):
+                            backend, dispersion=False, jitter_cam=None,
+                            chunks=1):
     """Batched tile-sharded sampling with the engine INSIDE shard_map.
 
     Sample ``i`` on device ``dev`` keys its variates with
@@ -118,6 +119,15 @@ def _tile_shard_map_samples(mesh, scene_data, ro, rd, total, samples,
     disjoint (without it every tile would draw identical local variate
     planes). Not bit-identical to a single-chip render — documented
     per-mesh determinism, like SppAllreduce.
+
+    ``chunks > 1`` composes the bounded-width wavefront with the tile
+    sharding (BASELINE config 5's full story: per-device tiles, each
+    traced as sequential sub-wavefronts): each device maps its LOCAL
+    tile through ``chunks`` trace_radiance calls per sample, chunk ``c``
+    drawing from ``fold_in(sample_dev_key, 0xC40000 + c)`` — the same
+    chunk fold as engine.render_samples, applied after the device fold.
+    Requires the local tile width to divide ``chunks``; excludes jitter
+    (as in the engine path).
     """
     def device_fn(scene, o, d, tot, k0, c0, jc):
         dev = jax.lax.axis_index(TILE_AXIS)
@@ -135,6 +145,22 @@ def _tile_shard_map_samples(mesh, scene_data, ro, rd, total, samples,
                                     jax.random.uniform(ky, (nloc,)))
             else:
                 d_i = d
+            if chunks > 1:
+                nc = o.shape[0] // chunks
+                cidx = jnp.arange(chunks, dtype=jnp.int32)
+
+                def chunk_fn(args):
+                    c, oc, dc = args
+                    kc = jax.random.fold_in(k, 0xC40000 + c)
+                    res = trace_radiance(scene, oc, dc, kc, max_depth,
+                                         backend, dispersion=dispersion)
+                    return res.radiance, res.rays_traced
+
+                rad_c, rays_c = jax.lax.map(
+                    chunk_fn, (cidx, o.reshape(chunks, nc, 3),
+                               d_i.reshape(chunks, nc, 3)))
+                return (tot + rad_c.reshape(tot.shape),
+                        rays + jnp.sum(rays_c))
             res = trace_radiance(scene, o, d_i, k, max_depth, backend,
                                  dispersion=dispersion)
             return tot + res.radiance, rays + res.rays_traced
@@ -166,6 +192,7 @@ class TileSharding:
     """Shard the flat pixel axis over a 1-D mesh."""
 
     supports_jitter_cam = True  # batched jitter: px/py shard like rays
+    supports_chunks = True      # chunks x tiles compose (render_samples)
 
     def __init__(self, mesh: Optional[Mesh] = None):
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -233,20 +260,41 @@ class TileSharding:
 
     def render_samples(self, scene_data, ro, rd, total, samples, base_key,
                        counter0, n_steps, max_depth, backend="auto",
-                       dispersion=False, jitter_cam=None):
+                       dispersion=False, jitter_cam=None, chunks=1):
         """Batched multi-sample step (one dispatch), sharded over pixels.
 
         Backend routing as in :meth:`render_sample`: Pallas backends run
-        inside shard_map so the kernels execute per-tile.
+        inside shard_map so the kernels execute per-tile. ``chunks > 1``
+        traces each device's local tile as sequential sub-wavefronts
+        (see _tile_shard_map_samples); on the pure-XLA path the chunk
+        fold happens per-device too, so both routes stay per-mesh
+        deterministic.
         """
         from ..engine import render_samples as _render_samples_1chip
         scene_data = self.shard_scene(scene_data)
+        if chunks > 1:
+            if jitter_cam is not None:
+                raise ValueError("chunks > 1 does not support jitter_cam")
+            nloc = ro.shape[0] // self.n_devices
+            if nloc % chunks:
+                raise ValueError(
+                    f"per-device tile width {nloc} must divide "
+                    f"chunks={chunks}")
         if _needs_shard_map(backend, scene_data.tri_shade.shape[0]):
             return _tile_shard_map_samples(
                 self.mesh, scene_data, ro, rd, total, samples, base_key,
                 counter0, n_steps=n_steps, max_depth=max_depth,
                 backend=backend, dispersion=dispersion,
-                jitter_cam=jitter_cam)
+                jitter_cam=jitter_cam, chunks=chunks)
+        if chunks > 1:
+            # pure-XLA backends partition by input shardings alone; run
+            # the same per-device chunked body through shard_map so the
+            # chunk fold composes with the device fold identically
+            return _tile_shard_map_samples(
+                self.mesh, scene_data, ro, rd, total, samples, base_key,
+                counter0, n_steps=n_steps, max_depth=max_depth,
+                backend=backend, dispersion=dispersion,
+                jitter_cam=None, chunks=chunks)
         return _render_samples_1chip(scene_data, ro, rd, total, samples,
                                      base_key, counter0, n_steps=n_steps,
                                      max_depth=max_depth, backend=backend,

@@ -44,20 +44,6 @@ from .scene import Scene, SceneData
 
 MAX_TARGET_SPP = 65535  # reference GUI clamp (main.cpp:1662-1669)
 
-# compact="auto" switches the shrinking-prefix engine on at this many rays.
-# Measured verdict (v5e, round 3, across three engine generations — see
-# engine_compact.py): even with v2.1's minimal data movement (steady
-# iterations = lockstep's pattern at prefix width, counter-exact RNG,
-# bit-identical output) the engine ties or slightly trails lockstep at
-# every size tried (1080p: 2.43 vs 2.48 spp/s; terrain 246k: 2.0 vs
-# 2.17). Root cause: the lockstep engine's dead-to-front segmented sort
-# already hands the kernels compacted work — parked blocks shortlist to
-# zero groups — so shrinking the dispatch width only removes cheap tail
-# width while paying the unscramble/banking overhead (~70 ms/sample at
-# 246k). The engine stays correct and opt-in (compact=True); "auto"
-# therefore never enables it on this hardware.
-COMPACT_AUTO_MIN_RAYS = 1 << 62
-
 # Bumped whenever the per-sample RNG key derivation changes; checkpoints
 # from a different schedule would silently resume with a different random
 # sequence, so load_checkpoint refuses them.
@@ -79,26 +65,25 @@ class RenderSession:
                  auto_backend_threshold: int = 4096,
                  resolution: Optional[tuple] = None,
                  sharding=None, tile_ordering: bool = True,
-                 persistent: bool = False, compact: object = False,
                  chunks: int = 1):
-        if persistent and (jitter or dispersion or sharding is not None):
-            raise ValueError("persistent wavefront mode supports neither "
-                             "jitter, dispersion nor sharding (yet) — see "
-                             "engine_wavefront.py")
-        if compact is True and (jitter or dispersion or persistent
-                                or sharding is not None):
-            raise ValueError("compact (shrinking-prefix) mode supports "
-                             "neither jitter, dispersion, persistent nor "
-                             "sharding — see engine_compact.py")
-        if chunks > 1 and (jitter or persistent or compact is True
-                           or sharding is not None):
+        # Round-5 note: the opt-in `persistent` (engine_wavefront) and
+        # `compact` (engine_compact) engines were RETIRED under the
+        # engine-zoo rule (STATUS.md): an alternate engine must beat the
+        # lockstep default by >=10% on at least one BENCH_SUITE config or
+        # be deleted. Two rounds of hardware data showed losses everywhere
+        # (compact 2.0x, persistent 4.7x at the dispersion config; compact
+        # 2.43 vs 2.48 spp/s at its best). The measured verdicts live in
+        # docs/tpu_cost_model.md; the code is in git history (round 4 tag).
+        if chunks > 1 and jitter:
             raise ValueError("chunks > 1 (bounded-width wavefront) "
-                             "supports neither jitter, persistent, "
-                             "compact nor sharding (yet)")
+                             "does not support jitter (yet)")
+        if (chunks > 1 and sharding is not None
+                and not getattr(sharding, "supports_chunks", False)):
+            raise ValueError("chunks > 1 composes only with a sharding "
+                             "that supports it (TileSharding does; "
+                             "SppAllreduce renders full frames per device "
+                             "and does not)")
         self.chunks = int(chunks)
-        self.persistent = persistent
-        self._compact_requested = compact
-        self._compact_schedule = None   # learned from the first sample
         self.scene = scene
         self.jitter = jitter
         self.seed = seed
@@ -173,19 +158,6 @@ class RenderSession:
             self._perm, self._inv_perm = tile_order(w, h)
             self._ro = jnp.asarray(np.asarray(self._ro)[self._perm])
             self._rd = jnp.asarray(np.asarray(self._rd)[self._perm])
-        if self.use_compact():
-            # spread 1024-ray blocks round-robin over the compact engine's
-            # sort segments so per-segment liveness tracks the global
-            # fraction (the shrink width is ns * max_s(live_s)); composed
-            # into the tile order on the host, see engine_compact.py
-            from .engine_compact import interleave_blocks
-            il = interleave_blocks(w * h)
-            if il is not None:
-                self._perm = (self._perm[il] if self._perm is not None
-                              else il)
-                self._inv_perm = np.argsort(self._perm)
-                self._ro = jnp.asarray(np.asarray(self._ro)[il])
-                self._rd = jnp.asarray(np.asarray(self._rd)[il])
         self._jitter_cam = None
         if self.jitter:
             from .models.camera import jitter_cam_arrays
@@ -199,32 +171,10 @@ class RenderSession:
         self._dirty = False
         self._reset_accumulator()
 
-    def use_compact(self) -> bool:
-        """Shrinking-prefix engine selection (engine_compact.py)."""
-        if self._compact_requested is False:
-            return False
-        if (self.jitter or self.dispersion or self.persistent
-                or self._sharding is not None):
-            return False            # "auto" silently defers; True raised
-        if self._compact_requested is True:
-            return True
-        w, h = self.resolution
-        return w * h >= COMPACT_AUTO_MIN_RAYS
-
     def _reset_accumulator(self) -> None:
         w, h = self.resolution
         n = w * h
         nw = len(self.scene.wavelengths)
-        if self.persistent:
-            from .engine_wavefront import init_state
-            self._wf = init_state(n, nw)
-            self._total = None
-            self._out = None
-            self._samples = jnp.zeros((), jnp.int32)
-            self._sample_counter = 0
-            self.elapsed = 0.0
-            self.rays_traced = 0
-            return
         if self._sharding is not None:
             self._total = self._sharding.zeros_accumulator(n, nw)
         else:
@@ -277,10 +227,6 @@ class RenderSession:
         if self.status != RenderStatus.RENDERING:
             self.start()
         t0 = time.monotonic()
-        if self.persistent:
-            return self._step_persistent(n_samples, readback, t0)
-        if self.use_compact():
-            return self._step_compact(n_samples, readback, t0)
         batched = (self._sharding is None
                    or hasattr(self._sharding, "render_samples"))
         if self.jitter:
@@ -326,76 +272,6 @@ class RenderSession:
                 self._sample_counter += 1
                 self.rays_traced += int(nrays)
         jax.block_until_ready(self._out)
-        dt = time.monotonic() - t0
-        self.elapsed += dt
-        self.last_sample_time = dt / max(n_samples, 1)
-        return self.result() if readback else None
-
-    def _step_compact(self, n_samples: int, readback: bool, t0: float):
-        """Batched shrinking-prefix stepping (engine_compact.py).
-
-        The first sample ever rendered runs at full width and its alive
-        profile learns the schedule (deterministic given the seed, stored
-        in checkpoints). Samples a split poisons (live > prefix — the
-        margin was too tight) are re-rendered at full width; nothing is
-        ever silently dropped."""
-        import numpy as np
-        from .engine_compact import compact_render_samples, learn_schedule
-
-        w, h = self.resolution
-        n = w * h
-        depth = self.scene.trace_depth
-
-        def call(n_steps, counter0, schedule):
-            res = compact_render_samples(
-                self._scene_data, self._ro, self._rd, self._total,
-                self._samples, self._key, counter0, n_steps=n_steps,
-                max_depth=depth, backend=self.backend, schedule=schedule)
-            (self._total, self._samples, self._out, nrays,
-             profile, valid) = res
-            self.rays_traced += int(nrays)          # sync point
-            return profile, valid
-
-        remaining = n_samples
-        if self._compact_schedule is None:
-            profile, _ = call(1, self._sample_counter, ())
-            self._sample_counter += 1
-            remaining -= 1
-            self._compact_schedule = learn_schedule(np.asarray(profile),
-                                                    n, depth)
-        if remaining > 0:
-            counter0 = self._sample_counter
-            _, valid = call(remaining, counter0, self._compact_schedule)
-            self._sample_counter += remaining
-            for j in np.nonzero(~np.asarray(valid))[0]:
-                # deterministic full-width re-render of poisoned samples
-                call(1, counter0 + int(j), ())
-        dt = time.monotonic() - t0
-        self.elapsed += dt
-        self.last_sample_time = dt / max(n_samples, 1)
-        return self.result() if readback else None
-
-    def _step_persistent(self, n_samples: int, readback: bool, t0: float):
-        """Advance the persistent pool until every slot has completed
-        ``n_samples`` more samples. A path lives at most 2*depth
-        iterations, so each 2*depth-iteration chunk advances the minimum
-        count by at least one — the loop is bounded by ``n_samples``
-        dispatches (usually far fewer: the average path is much shorter)."""
-        from .engine_wavefront import run_iterations
-
-        chunk = 2 * self.scene.trace_depth
-        target = self.samples + n_samples
-        rays0 = int(self._wf.rays_traced)
-        while True:
-            self._wf = run_iterations(
-                self._scene_data, self._ro, self._rd, self._wf, self._key,
-                jnp.asarray(target, jnp.int32),
-                n_iters=chunk, max_depth=self.scene.trace_depth,
-                backend=self.backend)
-            self._samples = jnp.min(self._wf.count)
-            if int(self._samples) >= target:
-                break
-        self.rays_traced += int(self._wf.rays_traced) - rays0
         dt = time.monotonic() - t0
         self.elapsed += dt
         self.last_sample_time = dt / max(n_samples, 1)
@@ -461,14 +337,6 @@ class RenderSession:
         """Running mean as [H, W, nw] (row 0 = image top)."""
         w, h = self.resolution
         nw = len(self.scene.wavelengths)
-        if self.persistent and getattr(self, "_wf", None) is not None:
-            # per-slot mean of that pixel's completed samples (counts may
-            # differ by a few across pixels — each is its own unbiased mean)
-            cnt = np.maximum(np.asarray(self._wf.count), 1)[:, None]
-            out = np.asarray(self._wf.total).T / cnt
-            if self._inv_perm is not None:
-                out = out[self._inv_perm]
-            return out.reshape(h, w, nw).astype(np.float32)
         if self._out is None:
             return np.zeros((h, w, nw), np.float32)
         out = self._out
@@ -490,10 +358,8 @@ class RenderSession:
         from . import viewer
 
         w, h = self.resolution
-        if self._out is None or (self.persistent
-                                 and getattr(self, "_wf", None) is not None):
-            # no device accumulator to convert on (or the experimental
-            # wavefront pool owns it): host path on result()
+        if self._out is None:
+            # no device accumulator to convert on: host path on result()
             return viewer.spectral_to_srgb(self.result(),
                                            self.scene.wavelengths,
                                            exposure=exposure)
@@ -524,34 +390,11 @@ class RenderSession:
     # -- checkpoint/resume --------------------------------------------------------
     def save_checkpoint(self, path: str) -> None:
         """Persist accumulator state for exact resume (the reference cannot:
-        pause keeps it in RAM only, stop discards — SURVEY §5).
-
-        Persistent mode checkpoints the COMPLETED samples (accumulator +
-        per-slot counts + RNG iteration); in-flight paths are dropped and
-        restart from their primaries on resume — still unbiased, only their
-        partial work is lost."""
-        if self.persistent:
-            total = np.asarray(self._wf.total).T
-            count = np.asarray(self._wf.count)
-            if self._inv_perm is not None:
-                total = total[self._inv_perm]
-                count = count[self._inv_perm]
-            np.savez(path, persistent=True, total=total, count=count,
-                     samples=np.asarray(jnp.min(self._wf.count)),
-                     sample_counter=int(self._wf.iteration),
-                     seed=self.seed,
-                     resolution=np.asarray(self.resolution),
-                     n_waves=len(self.scene.wavelengths),
-                     scene_hash=self.scene.content_digest(),
-                     backend=self.resolved_backend(),
-                     key_schedule=KEY_SCHEDULE_VERSION)
-            return
+        pause keeps it in RAM only, stop discards — SURVEY §5)."""
         total = np.asarray(self._sharding.gather(self._total)
                            if self._sharding else self._total)
         if self._inv_perm is not None:
             total = total[self._inv_perm]  # persist in scanline order
-        sched = np.asarray(self._compact_schedule or [],
-                           np.int64).reshape(-1, 2)
         np.savez(path,
                  total=total,
                  samples=np.asarray(self._samples),
@@ -563,9 +406,6 @@ class RenderSession:
                  backend=self.resolved_backend(),
                  jitter=self.jitter,
                  chunks=self.chunks,
-                 compact=self.use_compact(),
-                 compact_schedule=sched,
-                 compact_learned=self._compact_schedule is not None,
                  key_schedule=KEY_SCHEDULE_VERSION)
 
     def load_checkpoint(self, path: str) -> None:
@@ -607,49 +447,24 @@ class RenderSession:
                 f"checkpoint was rendered with jitter={ck_jitter}, this "
                 f"session has jitter={self.jitter} — the per-sample ray "
                 f"schedule differs, resume would not be exact")
-        ck_compact = bool(data["compact"]) if "compact" in data.files \
-            else False
-        if ck_compact != self.use_compact():
-            raise ValueError(
-                f"checkpoint was rendered with compact={ck_compact}, this "
-                f"session resolves compact={self.use_compact()} — the "
-                f"per-sample schedule differs, resume would not be exact")
-        if ck_compact and bool(data["compact_learned"]):
-            # reuse the learned schedule so continuation is bit-exact
-            self._compact_schedule = tuple(
-                (int(h), int(p)) for h, p in data["compact_schedule"])
+        # engines retired round 5 (see __init__ note): their checkpoints
+        # encode a per-sample schedule this session cannot reproduce
+        if "compact" in data.files and bool(data["compact"]):
+            raise ValueError("checkpoint was rendered by the retired "
+                             "compact (shrinking-prefix) engine — resume "
+                             "is not possible in this version")
+        if "persistent" in data.files and bool(data["persistent"]):
+            raise ValueError("checkpoint was rendered by the retired "
+                             "persistent-wavefront engine — resume is not "
+                             "possible in this version")
         ck_chunks = int(data["chunks"]) if "chunks" in data.files else 1
         if ck_chunks != self.chunks:
             raise ValueError(
                 f"checkpoint was rendered with chunks={ck_chunks}, this "
                 f"session has chunks={self.chunks} — the per-chunk key "
                 f"fold differs, resume would not be exact")
-        ck_persistent = bool(data["persistent"]) if "persistent" in \
-            data.files else False
-        if ck_persistent != self.persistent:
-            raise ValueError(
-                f"checkpoint was written in "
-                f"{'persistent' if ck_persistent else 'standard'} mode, "
-                f"this session is "
-                f"{'persistent' if self.persistent else 'standard'}")
         if self._dirty:
             self._sync()
-        if self.persistent:
-            total_np = data["total"]
-            count_np = data["count"]
-            if self._perm is not None:
-                total_np = total_np[self._perm]
-                count_np = count_np[self._perm]
-            self._wf = self._wf._replace(
-                total=jnp.asarray(total_np.T),
-                count=jnp.asarray(count_np),
-                iteration=jnp.asarray(int(data["sample_counter"]),
-                                      jnp.int32))
-            self._samples = jnp.min(self._wf.count)
-            self.seed = int(data["seed"])
-            self._key = jax.random.key(self.seed)
-            self.status = RenderStatus.PAUSED
-            return
         total_np = data["total"]
         if self._perm is not None:
             total_np = total_np[self._perm]

@@ -1,13 +1,9 @@
-"""Bounce-ray reorder primitives shared by the engines.
+"""Bounce-ray reorder primitives (sort keys, segments, scene bounds).
 
-The lockstep engine (engine.py) and the compaction engine
-(engine_compact.py) must produce byte-identical sort keys, segment
-rules, and scene bounds — the compact engine's bit-identical-to-lockstep
-guarantee (pinned by tests/test_compact.py) rides on it. These
-primitives therefore live in exactly one place; the engines keep only
-how they *apply* the resulting permutations (the lockstep engine's
-forward+inverse segmented argsort vs the compact engine's prefix-sliced
-variants).
+Kept separate from engine.py so the key schedule has exactly one home.
+(Historically also consumed by the retired compact/persistent engines,
+whose bit-identity guarantee rode on byte-identical keys — see the
+engine-zoo decision in STATUS.md round 5.)
 
 Design notes (all measured on a v5e — see docs/tpu_cost_model.md):
 
@@ -104,5 +100,8 @@ def sort_key(ox, oy, oz, dx, dy, dz, alive, smin, inv_ext, morton: bool,
               + (dz < 0).astype(jnp.int32))
     key = (octant << (3 * REORDER_POS_BITS)) | m
     if mat is not None:
-        key = key | (mat << mat_shift)
+        # mask to the 2-bit field: a future MaterialType >= 4 must not
+        # overflow into the dead bit (mat=4 would equal dead_bit and key
+        # live rays into the dead bucket, silently defeating compaction)
+        key = key | ((mat & 3) << mat_shift)
     return jnp.where(alive, key, dead_bit)

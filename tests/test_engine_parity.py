@@ -108,3 +108,76 @@ def test_temperature_grid_parity(tmp_path):
 
     got, want = run_parity(builder, depth=3, n_pix=8, seed=21)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
+
+
+def test_engine_common_blocks_match_inline_body():
+    """engine_common's factored shading blocks (the per-phase profiler's
+    measurement surface) must not drift from engine.py's inline bounce
+    body: a mini lockstep tracer built from the blocks, fed the same
+    variates, must reproduce trace_radiance to ulp level. (Not bitwise:
+    trace_radiance's fori_loop body compiles as one fused program while
+    this loop runs op-by-op, so XLA may reassociate — observed max
+    1e-7 relative on 2/256 pixels.)"""
+    from pathtracing_spectrum_tpu import engine_common as ec
+    from pathtracing_spectrum_tpu.ops import sampling
+    from pathtracing_spectrum_tpu.constants import EPS
+
+    depth = 3
+    sc = cornell_scene(sky=True,
+                       block_types=(MaterialType.SPECULAR,
+                                    MaterialType.GLASS))
+    sc.trace_depth = depth
+    scene = sc.compile()
+    ro, rd = camera_rays(sc.camera(), 8, 8)
+    n = ro.shape[0]
+    nw = scene.wavenumbers.shape[0]
+    rng = np.random.default_rng(17)
+    rand = jnp.asarray(rng.uniform(0, 1, (2 * depth, 4, n))
+                       .astype(np.float32))
+
+    want = np.asarray(trace_radiance(
+        scene, ro, rd, jax.random.key(0), depth, backend="dense",
+        rand_override=rand).radiance)
+
+    ctx = ec.make_ctx(scene, backend="dense")
+    rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
+    rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
+    thr = jnp.ones((nw, n), jnp.float32)
+    rad = jnp.zeros((nw, n), jnp.float32)
+    inside = jnp.zeros(n, bool)
+    alive = jnp.ones(n, bool)
+    for h in range(2 * depth):
+        hit, t, idx, s2, s3 = ctx.intersect(rox, roy, roz, rdx, rdy, rdz)
+        hit = hit & alive
+        attrs_t = ec.fetch_attrs(ctx, idx)
+        pox, poy, poz, nx, ny, nz, rough, uvu, uvv = ec.shade_geometry(
+            ctx, attrs_t, rox, roy, roz, rdx, rdy, rdz, t, s2, s3)
+        rr_rand, u_rand, th_rand, fr_rand = rand[h]
+        killed = hit & (h >= depth - 1) & (rr_rand
+                                           > ec.row(ctx, attrs_t, "rr_prob"))
+        miss = alive & ~hit
+        survive = hit & ~killed
+        emis_t, emis_eff, refl_eff = ec.material_spectra(ctx, attrs_t,
+                                                         uvu, uvv)
+        contrib = (miss[None, :] * scene.sky[:, None]
+                   + killed[None, :] * emis_t
+                   + survive[None, :] * emis_eff)
+        rad = rad + thr * contrib
+        thr = jnp.where(survive[None, :], thr * refl_eff, thr)
+        b = sampling.sample_bounce_soa(
+            ec.row(ctx, attrs_t, "mat_type").astype(jnp.int32),
+            rdx, rdy, rdz, nx, ny, nz, rough, inside,
+            u_rand, th_rand, fr_rand)
+        back = jnp.where(b.refracted, EPS * 2.0, 0.0)
+        park = jnp.float32(1e30)
+        rox = jnp.where(survive, pox - nx * back, park)
+        roy = jnp.where(survive, poy - ny * back, park)
+        roz = jnp.where(survive, poz - nz * back, park)
+        rdx = jnp.where(survive, b.dx, 0.0)
+        rdy = jnp.where(survive, b.dy, 0.0)
+        rdz = jnp.where(survive, b.dz, 0.0)
+        inside = jnp.where(survive, b.new_inside, inside)
+        alive = survive
+    rad = rad + alive[None, :] * thr * scene.sky[:, None]
+    got = np.asarray(rad.T)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)

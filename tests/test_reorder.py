@@ -1,10 +1,4 @@
-"""Contract tests for the shared reorder primitives (reorder.py).
-
-The engines (engine.py / engine_compact.py / engine_wavefront.py) all
-consume these; byte-identical keys across engines are load-bearing for
-the compact engine's bit-identity guarantee (tests/test_compact.py pins
-the end-to-end identity — these pin the primitive-level contract).
-"""
+"""Contract tests for the shared reorder primitives (reorder.py)."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -91,18 +85,13 @@ def test_reorder_segment_size_is_result_exact(monkeypatch):
     assert int(out[0].rays_traced) == int(out[1].rays_traced)
 
 
-def test_engines_share_the_same_key_function():
-    """The three engines must literally reference reorder.sort_key —
-    a re-implementation sneaking back in would defeat the consolidation
-    (byte-identity across engines is the point)."""
+def test_engine_uses_the_shared_key_function():
+    """The engine must literally reference reorder.sort_key — a
+    re-implementation sneaking back in would defeat the consolidation."""
     import pathtracing_spectrum_tpu.engine as eng
-    import pathtracing_spectrum_tpu.engine_compact as ecmp
-    import pathtracing_spectrum_tpu.engine_wavefront as ew
     from pathtracing_spectrum_tpu import reorder
     assert eng.sort_key is reorder.sort_key
-    assert ecmp._sort_key is reorder.sort_key
-    assert ew.sort_key is reorder.sort_key
-    assert eng.segment_for is ecmp._segment_for is reorder.segment_for
+    assert eng.segment_for is reorder.segment_for
 
 
 def test_sort_mat_key_is_result_exact(monkeypatch):

@@ -312,3 +312,42 @@ def test_chunked_checkpoint_exact_resume_and_mismatch(tmp_path):
     t.start()
     with pytest.raises(ValueError, match="chunks"):
         t.load_checkpoint(p)
+
+
+def test_render_samples_chunked_exact_vs_per_chunk_truth():
+    """Drive render_samples(chunks=N) itself (the lax.map + sliced
+    primary0 plumbing) against an independently-computed truth: the same
+    per-chunk key folds (fold_in(sample_key, 0xC40000+c)) replayed
+    through direct trace_radiance calls on each chunk slice. Pins the
+    chunk plumbing end-to-end — the trace-level width-independence test
+    above cannot see a bug in the fold/slice/scan wiring."""
+    import jax
+    import jax.numpy as jnp
+    from pathtracing_spectrum_tpu import camera_rays
+    from pathtracing_spectrum_tpu.engine import render_samples, trace_radiance
+
+    sc = cornell_scene(depth=2, res=(16, 8))
+    scene = sc.compile()
+    ro, rd = camera_rays(sc.camera(), 16, 8)
+    n, nw = 128, len(sc.wavelengths)
+    chunks, nc = 4, 32
+    base_key = jax.random.key(11)
+    n_steps = 3
+
+    total0 = jnp.zeros((n, nw), jnp.float32)
+    tot, samples, out, rays = render_samples(
+        scene, ro, rd, total0, jnp.zeros((), jnp.int32), base_key,
+        0, n_steps=n_steps, max_depth=2, backend="dense", chunks=chunks)
+
+    want = np.zeros((n, nw), np.float32)
+    for i in range(n_steps):
+        k = jax.random.fold_in(base_key, i)
+        for c in range(chunks):
+            s = slice(c * nc, (c + 1) * nc)
+            kc = jax.random.fold_in(k, 0xC40000 + c)
+            want[s] += np.asarray(trace_radiance(
+                scene, ro[s], rd[s], kc, 2, backend="dense").radiance)
+    assert int(samples) == n_steps
+    np.testing.assert_allclose(np.asarray(tot), want, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(out), want / n_steps,
+                               rtol=1e-6, atol=1e-8)

@@ -203,3 +203,63 @@ def test_tile_sharding_batched_jitter_matches_unsharded(eight_devices):
                       sharding=TileSharding(mesh))
     img_b = b.run(target_spp=3)
     np.testing.assert_array_equal(img_a, img_b)
+
+
+def test_tile_sharding_chunked_exact_vs_manual_folds(eight_devices):
+    """chunks x tiles composition (BASELINE config 5's full story):
+    TileSharding.render_samples(chunks=C) must equal an independent
+    replay of its documented key schedule — per (sample i, device dev,
+    chunk c): fold_in(fold_in(fold_in(key, counter0+i), dev), 0xC40000+c)
+    traced over that device's chunk slice."""
+    from pathtracing_spectrum_tpu.engine import trace_radiance
+
+    sc = cornell_scene(depth=2, res=(32, 8))
+    scene = sc.compile()
+    w, h = sc.resolution
+    n = w * h                       # 256 rays -> 32/device -> 2 chunks of 16
+    ro, rd = camera_rays(sc.camera(), w, h)
+    key = jax.random.key(13)
+    chunks, n_steps = 2, 2
+
+    ts = TileSharding(make_mesh(eight_devices))
+    ro_s, rd_s = ts.shard_rays(ro, rd)
+    total_s = ts.zeros_accumulator(n, 4)
+    tot, samples, out, nrays = ts.render_samples(
+        scene, ro_s, rd_s, total_s, jnp.zeros((), jnp.int32), key, 0,
+        n_steps=n_steps, max_depth=2, backend="dense", chunks=chunks)
+    got = ts.gather(tot)
+
+    nloc = n // 8
+    nc = nloc // chunks
+    want = np.zeros((n, 4), np.float32)
+    for i in range(n_steps):
+        for dev in range(8):
+            kd = jax.random.fold_in(jax.random.fold_in(key, i), dev)
+            for c in range(chunks):
+                kc = jax.random.fold_in(kd, 0xC40000 + c)
+                s = slice(dev * nloc + c * nc, dev * nloc + (c + 1) * nc)
+                want[s] += np.asarray(trace_radiance(
+                    scene, ro[s], rd[s], kc, 2, backend="dense").radiance)
+    assert int(samples) == n_steps
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_session_chunked_with_tile_sharding(eight_devices):
+    """RenderSession(chunks, sharding=TileSharding) end-to-end: runs,
+    deterministic (same seed twice -> identical image), and rejects
+    SppAllreduce composition."""
+    mesh = make_mesh(eight_devices)
+
+    def build():
+        sc = cornell_scene(depth=2, res=(32, 8))
+        return RenderSession(sc, sharding=TileSharding(mesh), seed=3,
+                             chunks=2)
+
+    a = build().run(target_spp=2)
+    b = build().run(target_spp=2)
+    np.testing.assert_array_equal(a, b)
+    assert np.isfinite(a).all() and a.mean() > 0
+
+    with pytest.raises(ValueError, match="chunks"):
+        RenderSession(cornell_scene(depth=2, res=(32, 8)),
+                      sharding=SppAllreduce(mesh), chunks=2)

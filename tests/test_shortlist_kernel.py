@@ -544,7 +544,9 @@ def test_reorder_from_policy():
     assert reorder_from_policy(2244, max_depth=3) == 5
     assert reorder_from_policy(REORDER_FROM_TINY_TRIS - 1, 3) == 5
     assert reorder_from_policy(REORDER_FROM_TINY_TRIS - 1, 5) == 9
-    assert reorder_from_policy(REORDER_FROM_TINY_TRIS - 1, 1) == 2
+    # depth-1 sorts its single looped iteration (unclamped 2*1-1; the
+    # old max(2, ...) floor silently turned depth-1 into never-sort)
+    assert reorder_from_policy(REORDER_FROM_TINY_TRIS - 1, 1) == 1
     assert reorder_from_policy(REORDER_FROM_TINY_TRIS) == 2
     assert reorder_from_policy(REORDER_FROM_SMALL_TRIS - 1) == 2
     assert reorder_from_policy(REORDER_FROM_SMALL_TRIS) == 1

@@ -34,7 +34,8 @@ import numpy as np
 import bench_suite as bs
 import pathtracing_spectrum_tpu.ops.intersect_shortlist as isl
 from pathtracing_spectrum_tpu import engine_common as ec
-from pathtracing_spectrum_tpu import engine_compact as ecmp
+from pathtracing_spectrum_tpu.reorder import (scene_bounds, segment_for,
+                                              sort_key)
 from pathtracing_spectrum_tpu.models.camera import camera_rays, tile_order
 from pathtracing_spectrum_tpu.ops import sampling
 from pathtracing_spectrum_tpu.ops.intersect_pallas import pack_tri16
@@ -70,13 +71,13 @@ def bounce1_rays(sc, sd, w, h):
             rdx, rdy, rdz, nx, ny, nz, rough, jnp.zeros((n,), bool),
             u[1], u[2], u[3])
         park = jnp.float32(1e30)
-        smin, inv_ext = ecmp._scene_bounds(sd)
+        smin, inv_ext = scene_bounds(sd)
         nro = (jnp.where(hit, pox, park), jnp.where(hit, poy, park),
                jnp.where(hit, poz, park))
         nrd = (jnp.where(hit, b.dx, 0.0), jnp.where(hit, b.dy, 0.0),
                jnp.where(hit, b.dz, 0.0))
-        keys = ecmp._sort_key(*nro, *nrd, hit, smin, inv_ext, True)
-        seg = ecmp._segment_for(n)
+        keys = sort_key(*nro, *nrd, hit, smin, inv_ext, True)
+        seg = segment_for(n)
         ns = n // seg
         p = (jnp.argsort(keys.reshape(ns, seg), axis=1).astype(jnp.int32)
              + (jnp.arange(ns, dtype=jnp.int32) * seg)[:, None]).reshape(-1)
