@@ -52,8 +52,20 @@ from .intersect_pallas import BIG, CLUSTER, _LANES, _slab_block
 _RB = int(os.environ.get("PTS_RB", "16"))
 if _RB < 8 or (_RB & (_RB - 1)) or _RB > 256:
     raise ValueError(f"PTS_RB={_RB}: expected a power of two in [8, 256]")
-KC = 8                      # clusters per group
-GROUP_T = KC * CLUSTER      # triangles per group (DMA unit, 64 KiB)
+# Clusters per group — the DMA/grid-step unit. The kernel grid's second
+# dim is n_groups = ceil(T / (KC*CLUSTER)); steps past a block's
+# shortlist still pay ~1 µs of grid bookkeeping each (measured on the 1M
+# pooled-budget sweep), so at 246k the (128 x 241) grid carries ~20+ ms
+# of skipped-step overhead per call. PTS_KC=16 (fresh process) halves
+# the grid at the price of coarser group AABBs in stage 1 (looser
+# shortlists; per-cluster culling inside the kernel is unchanged) and
+# 2x DMA per active step. Exact-match for any value — group partitioning
+# only changes the walk order, and the front-to-back tie rule keeps
+# selection identical (same argument as the span knob).
+KC = int(os.environ.get("PTS_KC", "8"))
+if KC < 8 or (KC & (KC - 1)) or KC > 64:
+    raise ValueError(f"PTS_KC={KC}: expected a power of two in [8, 64]")
+GROUP_T = KC * CLUSTER      # triangles per group (DMA unit, 64 KiB @ KC=8)
 
 # SMEM budget for EACH prefetch array (order/tnear are [n_blocks x G] i32).
 # When a (resolution, triangle-count) pair exceeds it, shortlists are built
@@ -847,8 +859,10 @@ def intersect_shortlist_pallas_soa(rox, roy, roz, rdx, rdy, rdz, tri_pack,
             (extra, 1))
         cluster_aabbs = jnp.concatenate([cluster_aabbs, never])
 
+    # pass kc explicitly (module global read at call time, so PTS_KC
+    # monkeypatching in tests reaches it — a def-time default would not)
     group_aabb, group_valid = group_aabbs_from_clusters(cluster_aabbs,
-                                                        n_groups)
+                                                        n_groups, KC)
     order, counts, tnear = build_shortlists(rays, group_aabb, group_valid,
                                             block_rows=sb * _RB)
     # masked steps (j >= count) clamp to the last real entry, so the block

@@ -560,3 +560,37 @@ def test_resolve_row_cull_env_sentinel(monkeypatch):
     assert isl.resolve_row_cull("env") is True
     monkeypatch.setattr(isl, "_ROW_CULL", False)
     assert isl.resolve_row_cull("env") is False
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kc", [16, 32])
+def test_group_size_kc_matches_bruteforce(kc):
+    """PTS_KC (clusters per group — the DMA/grid-step unit) is
+    exact-match for any value: group partitioning only changes the
+    front-to-back walk order, and the explicit lowest-index tie rule
+    keeps hit/idx selection identical (same argument as the span knob).
+    Pins the KC=16/32 variants the large-scene grid-overhead experiment
+    uses against brute force."""
+    geo, tri16, caabb = _soup(3000, seed=12)
+    v1, e1, e2, fn, k1, k2, k3, consts = geo
+    ro, rd = _rays(2048, seed=13)
+    h0, t0, i0, _, _ = intersect_bruteforce(
+        jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(fn), jnp.asarray(k1),
+        jnp.asarray(k2), jnp.asarray(k3), jnp.asarray(consts))
+    old_kc, old_gt = isl.KC, isl.GROUP_T
+    try:
+        isl.KC, isl.GROUP_T = kc, kc * isl.CLUSTER
+        jax.clear_caches()
+        h1, t1, i1, _, _ = isl.intersect_shortlist_pallas_soa(
+            *(jnp.asarray(ro[:, k]) for k in range(3)),
+            *(jnp.asarray(rd[:, k]) for k in range(3)),
+            tri16, caabb, interpret=True)
+    finally:
+        isl.KC, isl.GROUP_T = old_kc, old_gt
+        jax.clear_caches()
+    h0, h1 = np.asarray(h0), np.asarray(h1)
+    np.testing.assert_array_equal(h0, h1)
+    m = h0
+    np.testing.assert_allclose(np.asarray(t0)[m], np.asarray(t1)[m],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i0)[m], np.asarray(i1)[m])
