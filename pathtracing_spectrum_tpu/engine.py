@@ -67,7 +67,7 @@ from .ops.texturing import sample_nearest_wh
 # (one home for the key schedule); re-exported here for compatibility.
 from .reorder import (REORDER_AUTO_MIN_TRIS, REORDER_POS_BITS,   # noqa: F401
                       REORDER_SEGMENT, scene_bounds, segment_for,
-                      sort_key)
+                      segment_policy, sort_key)
 
 # One-hot MXU fetch while the [T, N] one-hot stays under this many bytes;
 # single packed gather above (the one-hot would blow HBM for big scenes).
@@ -520,7 +520,7 @@ def trace_radiance(scene: SceneData, ro, rd, key, max_depth: int,
                       and n_tris >= REORDER_AUTO_MIN_TRIS))
     sort_mat = do_reorder and SORT_MAT
     if do_reorder:
-        _SEG = segment_for(n)
+        _SEG = segment_policy(n, n_tris)
         smin, inv_ext = scene_bounds(scene)
 
         def sort_perm(ox, oy, oz, dx, dy, dz, alive, mat=None):
@@ -1003,10 +1003,12 @@ def render_samples(scene: SceneData, ro, rd, total, samples, base_key,
         # Bounded-width wavefront: trace the frame as `chunks` sequential
         # sub-wavefronts via lax.map (one traced body, scanned). The
         # per-lane iteration cost GROWS with wavefront width on v5e
-        # (measured 2.6 / 3.3 / 3.5 ns per lane-iteration at 262k / 2M /
-        # 8.3M lanes — docs/tpu_cost_model.md "4K" entry), so a 4K frame
-        # runs faster as 512²-sized chunks; it also bounds the HBM
-        # working set (attrs planes scale with chunk width, not frame).
+        # (measured ~2.1 ns/lane-iteration at 259k-lane chunks vs 3.5 ns
+        # at the full 8.3M-lane 4K wavefront; chunks=32 at 4K: 219.8 vs
+        # 134.0 Mrays/s unchunked — docs/tpu_cost_model.md "4K
+        # bounded-width" entry), so a 4K frame runs faster as 512²-sized
+        # chunks; it also bounds the HBM working set (attrs planes scale
+        # with chunk width, not frame).
         # Chunk c of sample i draws from fold_in(fold_in(base_key,
         # counter0+i), 0xC40000+c) — per-(chunks, seed) deterministic;
         # per-pixel math is width-independent, so results differ from

@@ -47,6 +47,24 @@ REORDER_POS_BITS = 4
 # (result-exact either way — any permutation is).
 REORDER_SEGMENT = int(os.environ.get("PTS_REORDER_SEGMENT", "65536"))
 
+# Size-aware GLOBAL-segment upgrade (round 5, v5e 2026-08-20,
+# tools/ab_engine.py, spp/s base -> one global 262144-ray segment):
+#   terrain 246k @512²: 3.85 -> 4.05  (+5.2% — target 4.0 met)
+#   terrain 1M   @512²: 1.82 -> 1.93  (+6.1%)
+#   terrain 52k  @512²: 9.03 -> 8.49  (−6.0% — the extra bitonic depth
+#     costs ~2-3 ms/iteration, which a 110 ms sample cannot absorb)
+#   textured 1080p (2.2k tris, 2M rays): 3.368 -> 3.367 (wash; the cap
+#     keeps 2M-ray frames segmented — a global 2M bitonic measured
+#     30.4 vs 3.1 ms in round 3)
+# A globally sorted wavefront gives octant-pure blocks everywhere
+# (segment boundaries each leave one octant-mixed block); the coherence
+# is only worth the deeper sort network where the per-sample cost is
+# dominated by the bounce sweep — i.e. large scenes. Policy: one global
+# segment iff n_tris >= 128k AND the wavefront is <= 262144 rays;
+# PTS_REORDER_SEGMENT overrides (then segment_for alone decides).
+REORDER_GLOBAL_SEG_MIN_TRIS = 131072
+REORDER_GLOBAL_SEG_MAX_N = 262144
+
 
 def segment_for(n: int) -> int:
     """Largest segment <= REORDER_SEGMENT dividing ``n`` in whole
@@ -55,6 +73,17 @@ def segment_for(n: int) -> int:
         if n % (1024 * d) == 0:
             return 1024 * d
     return n
+
+
+def segment_policy(n: int, n_tris: int) -> int:
+    """The engine's segment choice: the measured size-aware default
+    (global segment for large scenes at moderate wavefront widths — see
+    the table above), unless PTS_REORDER_SEGMENT pins the cap."""
+    if "PTS_REORDER_SEGMENT" not in os.environ \
+            and n_tris >= REORDER_GLOBAL_SEG_MIN_TRIS \
+            and n <= REORDER_GLOBAL_SEG_MAX_N:
+        return n
+    return segment_for(n)
 
 
 def scene_bounds(scene):

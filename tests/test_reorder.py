@@ -135,3 +135,26 @@ def test_sort_mat_key_is_result_exact(monkeypatch):
                             morton=True, mat=mat))
     al = np.asarray(alive)
     assert k[al].max() < k[~al].min()
+
+
+def test_segment_policy_size_aware(monkeypatch):
+    """Global segment iff the scene is large AND the wavefront moderate
+    (measured table in reorder.py); PTS_REORDER_SEGMENT overrides."""
+    import os
+    from pathtracing_spectrum_tpu.reorder import (
+        REORDER_GLOBAL_SEG_MIN_TRIS, REORDER_GLOBAL_SEG_MAX_N,
+        segment_policy, segment_for)
+    monkeypatch.delenv("PTS_REORDER_SEGMENT", raising=False)
+    big_t = REORDER_GLOBAL_SEG_MIN_TRIS
+    # large scene + 512^2 wavefront: one global segment
+    assert segment_policy(262144, big_t) == 262144
+    assert segment_policy(262144, 1_000_000) == 262144
+    # small scene keeps the measured 65536 segmenting
+    assert segment_policy(262144, big_t - 1) == segment_for(262144) == 65536
+    # large wavefront (1080p) keeps segmenting even for large scenes
+    n_1080p = 1920 * 1080
+    assert segment_policy(n_1080p, 1_000_000) == segment_for(n_1080p)
+    assert segment_policy(n_1080p, 1_000_000) <= REORDER_GLOBAL_SEG_MAX_N
+    # env override pins the cap for everything
+    monkeypatch.setenv("PTS_REORDER_SEGMENT", "1")
+    assert segment_policy(262144, 1_000_000) == segment_for(262144)
