@@ -12,6 +12,8 @@ variant:
   from2/from3 reorder_from=2/3 — first looped iterations run unsorted
               (nearly fully live: nothing to pack), sort kicks in later
               (result-exact; see engine.trace_radiance)
+  chunksN     bounded-width wavefront: trace each sample as N
+              sequential sub-wavefronts (render_samples(chunks=N))
 
 Kernel env knobs (PTS_SWEEP_SPAN, PTS_MXU_SWEEP, PTS_ROW_CULL, PTS_RB,
 ...) compose on top: set them on the command line. Run ONE variant per
@@ -63,6 +65,8 @@ def main():
         orig = render_mod.render_samples
         render_mod.render_samples = (
             lambda *a, **k: orig(*a, reorder_freeze=fz, **k))
+    elif variant.startswith("chunks"):
+        pass                      # handled at session construction below
     elif variant != "base":
         raise SystemExit(f"unknown variant {variant!r}")
 
@@ -70,7 +74,10 @@ def main():
         sc = bs.textured_sphere_scene((1920, 1080))
     else:
         sc = bs.terrain_scene((512, 512), f"{config}.obj")
-    s = bs._session(sc)
+    session_kw = {}
+    if variant.startswith("chunks"):
+        session_kw["chunks"] = int(variant[len("chunks"):])
+    s = bs._session(sc, **session_kw)
     t0 = time.time()
     dt, st = bs._timed_spp(s, spp, batch=batch)
     print(json.dumps({
