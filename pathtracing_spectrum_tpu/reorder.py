@@ -35,8 +35,15 @@ from .ops.intersect_shortlist import root_bounds
 # per-bounce sort is pure overhead.
 REORDER_AUTO_MIN_TRIS = 1024
 
-# Reorder key layout: morton bits per origin axis.
-REORDER_POS_BITS = 4
+# Reorder key layout: morton bits per origin axis. 4 measured ~flat vs
+# 5 under the round-3 segmented sort; PTS_REORDER_POS_BITS re-probes it
+# (fresh process) now that the global segment changed block composition
+# at large scenes. Result-exact for any value (any permutation is).
+REORDER_POS_BITS = int(os.environ.get("PTS_REORDER_POS_BITS", "4"))
+if not 1 <= REORDER_POS_BITS <= 9:
+    raise ValueError(f"PTS_REORDER_POS_BITS={REORDER_POS_BITS}: "
+                     "expected 1..9 (3 bits/axis must fit int32 below "
+                     "the material/dead bits)")
 
 # Segment size for the segmented sorts (64 blocks of 1024 rays). Rays
 # only move within their segment — dead-ray compaction and octant
